@@ -1,0 +1,258 @@
+"""Wave-batched graph construction.
+
+TPU-native replacement for the reference's insert path
+(src/HNSWIndex/GraphConnector.cs:24-262 + GraphData.cs:79-118).  The
+reference inserts one item at a time under fine-grained locks
+(``Parallel.For`` over ``Add``, HNSWIndex.cs:70-78); the TPU build batches
+inserts into *waves*: every wave member searches the frozen pre-wave graph,
+edges are selected with the batched heuristic, and all mutations are applied
+as conflict-free array scatters.  Within one wave, per layer:
+
+1. greedy descent to each member's top connect layer
+   (FindEntryPoint, GraphConnector.cs:174);
+2. beam search with ef = MaxCandidates (GraphConnector.cs:189);
+3. relative-neighbor pruning to M (2*M at layer 0)
+   (GraphConnector.cs:190, Heuristic.cs:11);
+4. forward-edge row writes (GraphConnector.cs:192);
+5. reverse edges u -> v for every selected neighbor v, applied with a
+   sort-and-rank conflict-free scatter, followed by a batched re-prune of
+   any node whose degree overflowed (GraphConnector.cs:196-214, PruneOverflow
+   :222-262).
+
+Wave members never see each other's edges at the same layer (search of
+layer l happens before the wave's layer-l scatter), so the result is
+order-independent within a wave — the TPU analog of the reference's "all
+concurrent inserts see some consistent graph" contract.
+
+Entry-point promotion: the wave member with the highest sampled level
+replaces the entry point if it exceeds the old top layer
+(GraphConnector.cs:36-41; ties resolved to the first such member).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import distance as dst
+from . import heuristic
+from .graph import GraphConfig, GraphState
+from .search import beam_search, greedy_descent
+
+_INF = jnp.inf
+_PRUNE_CHUNK = 1024
+
+
+def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
+                mask, max_deg: int):
+    """Heuristic-prune candidate lists against their target nodes.
+
+    ``target_ids (P,)``, ``cand_ids (P, NC)`` (-1 invalid), ``mask (P,)``
+    gates rows.  Distances are computed candidate->target (the reference's
+    PruneOverflow / removal-repair orientation, GraphConnector.cs:233,118).
+    Processed in chunks via ``lax.map`` to bound the gathered-vector
+    footprint.  Returns (sel (P, max_deg) i32, count (P,) i32)."""
+    P, NC = cand_ids.shape
+    C = vectors.shape[0]
+    chunk = min(_PRUNE_CHUNK, P)
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+
+    t = jnp.pad(target_ids, (0, pad))
+    ci = jnp.pad(cand_ids, ((0, pad), (0, 0)), constant_values=-1)
+    mk = jnp.pad(mask, (0, pad))
+
+    def one_chunk(args):
+        tc, cic, mkc = args
+        tcc = jnp.clip(tc, 0, C - 1)
+        tvec = vectors[tcc]
+        tn = norms[tcc]
+        ccc = jnp.clip(cic, 0, C - 1)
+        cvecs = vectors[ccc]
+        cn = norms[ccc]
+        cd = dst.gathered(cfg.metric, tvec, tn, cvecs, cn)
+        cd = jnp.where((cic >= 0) & mkc[:, None], cd, _INF)
+        return heuristic.prune(cfg.metric, jnp.where(mkc[:, None], cic, -1),
+                               cd, cvecs, cn, max_deg)
+
+    sel, cnt = lax.map(one_chunk, (t.reshape(n_chunks, chunk),
+                                   ci.reshape(n_chunks, chunk, NC),
+                                   mk.reshape(n_chunks, chunk)))
+    return sel.reshape(-1, max_deg)[:P], cnt.reshape(-1)[:P]
+
+
+def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
+                 mask, max_deg: int):
+    """Add back-edges v -> u for every forward edge u -> v in the wave.
+
+    Conflict-free parallel append: the (u, v) pair list is sorted by target
+    v, ranked within each group, and scattered into each target row at
+    columns [deg, deg+rank).  Targets whose degree would exceed ``max_deg``
+    are re-pruned over (pre-existing edges ∪ new arrivals) exactly like
+    PruneOverflow (GraphConnector.cs:209-211,222-262).
+
+    Returns the updated (nbr_layer_row_table, deg_layer) pair scattered back
+    into the full tables."""
+    nbr, deg = state.nbr, state.deg
+    W, Ms = sel.shape
+    P = W * Ms
+    C = state.capacity
+    K = nbr.shape[2]
+    layer = jnp.asarray(layer, jnp.int32)
+
+    u = jnp.repeat(src_ids.astype(jnp.int32), Ms)
+    v = sel.reshape(P)
+    pv = (v >= 0) & jnp.repeat(mask, Ms)
+    key = jnp.where(pv, v, C)                     # invalid -> sort to tail
+    order = jnp.argsort(key, stable=True)
+    sv = key[order]
+    su = u[order]
+    spv = pv[order]
+    ar = jnp.arange(P)
+    isstart = jnp.concatenate(
+        [jnp.ones((1,), bool), sv[1:] != sv[:-1]])
+    gstart = lax.cummax(jnp.where(isstart, ar, 0))
+    rank = ar - gstart
+    svc = jnp.clip(sv, 0, C - 1)
+
+    nbr_l = lax.dynamic_index_in_dim(nbr, layer, 0, keepdims=False)  # (C,K)
+    deg_l = lax.dynamic_index_in_dim(deg, layer, 0, keepdims=False)  # (C,)
+
+    olddeg = jnp.where(spv, deg_l[svc], 0)
+    counts = jnp.zeros((C + 1,), jnp.int32).at[sv].add(1)
+    gcnt = jnp.where(spv, counts[svc], 0)
+    total = olddeg + gcnt
+    over_row = spv & isstart & (total > max_deg)
+
+    # Snapshot existing edges of (potential) overflow targets BEFORE the
+    # scatter, so the re-prune sees pre-wave edges + new arrivals exactly
+    # once each.
+    ex = nbr_l[svc]                                # (P, K)
+    ex = jnp.where(jnp.arange(K)[None, :] < olddeg[:, None], ex, -1)
+
+    # Conflict-free scatter of the new back-edges.
+    pos = olddeg + rank
+    can = spv & (pos < K)
+    nbr_l = nbr_l.at[jnp.where(can, sv, C),
+                     jnp.where(can, pos, 0)].set(su, mode="drop")
+    deg_l = jnp.minimum(deg_l + counts[:C], K)
+
+    # Batched overflow re-prune: candidates = existing ∪ first A arrivals.
+    A = Ms
+    win = jnp.minimum(gstart[:, None] + jnp.arange(A)[None, :], P - 1)
+    wu = su[win]                                   # (P, A)
+    w_ok = (jnp.arange(A)[None, :] < jnp.minimum(gcnt, A)[:, None]) \
+        & over_row[:, None]
+    cand = jnp.concatenate([ex, jnp.where(w_ok, wu, -1)], axis=1)  # (P, K+A)
+    sel2, cnt2 = _prune_rows(cfg, state.vectors, state.norms, sv, cand,
+                             over_row, max_deg)
+    sel2pad = jnp.full((P, K), -1, jnp.int32).at[:, :max_deg].set(sel2)
+    rowd = jnp.where(over_row, sv, C)
+    nbr_l = nbr_l.at[rowd].set(sel2pad, mode="drop")
+    deg_l = deg_l.at[rowd].set(cnt2, mode="drop")
+
+    nbr = lax.dynamic_update_index_in_dim(nbr, nbr_l, layer, 0)
+    deg = lax.dynamic_update_index_in_dim(deg, deg_l, layer, 0)
+    return nbr, deg
+
+
+def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
+                      qn, entry, conn, max_deg: int):
+    """One layer of the insert path (ConnectAtLayer,
+    GraphConnector.cs:187-217): beam search, heuristic prune, forward-edge
+    row write, back edges + overflow prune.  Returns updated
+    (nbr, deg, entry)."""
+    W = ids.shape[0]
+    C = state.capacity
+    K = state.nbr.shape[2]
+    efc = cfg.ef_construction
+    max_iters = cfg.search_iter_factor * efc + 16
+
+    cd, ci = beam_search(cfg, state, vecs, qn, entry, conn, layer, efc,
+                         max_iters)
+    cic = jnp.clip(ci, 0, C - 1)
+    cvecs = state.vectors[cic]
+    cnorms = state.norms[cic]
+    sel, cnt = heuristic.prune(cfg.metric, jnp.where(conn[:, None], ci, -1),
+                               cd, cvecs, cnorms, max_deg)
+
+    selpad = jnp.full((W, K), -1, jnp.int32).at[:, :max_deg].set(sel)
+    rowsafe = jnp.where(conn, ids, C)
+    nbr = state.nbr.at[jnp.asarray(layer, jnp.int32), rowsafe].set(
+        selpad, mode="drop")
+    deg = state.deg.at[jnp.asarray(layer, jnp.int32), rowsafe].set(
+        cnt, mode="drop")
+
+    # Chain the closest accepted neighbor as the next layer's entry point
+    # (GraphConnector.cs:216 returns bestNeighborsIds[0]).
+    nxt = sel[:, 0]
+    entry = jnp.where(conn & (nxt >= 0), nxt, entry)
+
+    nbr, deg = _add_reverse(cfg, state._replace(nbr=nbr, deg=deg), layer,
+                            ids, sel, conn, max_deg)
+    return nbr, deg, entry
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def insert_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls, valid):
+    """Insert a wave of items (see module docstring).
+
+    ``ids (W,)`` pre-assigned slots, ``vecs (W, D)``, ``lvls (W,)`` sampled
+    levels, ``valid (W,)`` lane mask (waves are padded to bucket sizes so
+    one compilation serves many wave sizes).  Returns the new GraphState.
+    """
+    W = ids.shape[0]
+    C = state.capacity
+    L = state.num_levels
+    ids = ids.astype(jnp.int32)
+    lvls = lvls.astype(jnp.int32)
+
+    vn = dst.norm_data(cfg.metric, vecs)
+    rowsafe = jnp.where(valid, ids, C)
+    state = state._replace(
+        vectors=state.vectors.at[rowsafe].set(vecs, mode="drop"),
+        norms=state.norms.at[rowsafe].set(vn, mode="drop"),
+        level=state.level.at[rowsafe].set(lvls, mode="drop"),
+        active=state.active.at[rowsafe].set(True, mode="drop"),
+    )
+
+    ep0 = state.ep
+    has_graph = ep0 >= 0
+    old_top = jnp.where(has_graph, state.level[jnp.clip(ep0, 0, C - 1)], -1)
+    conn_top = jnp.minimum(lvls, old_top)    # GraphConnector.cs:176
+
+    ep_b = jnp.broadcast_to(jnp.where(has_graph, ep0, -1), (W,))
+    entry, _ = greedy_descent(cfg, state, vecs, vn, ep_b,
+                              jnp.broadcast_to(old_top, (W,)), conn_top)
+
+    # Upper layers L-1 .. 1 (degree cap M), then layer 0 (cap 2*M) —
+    # GraphData.cs:247-250.
+    def upper_body(i, carry):
+        nbr, deg, entry = carry
+        layer = (L - 1) - i
+        conn = valid & has_graph & (layer <= conn_top)
+        st = state._replace(nbr=nbr, deg=deg)
+        return _connect_at_layer(cfg, st, layer, ids, vecs, vn, entry, conn,
+                                 cfg.max_edges)
+
+    nbr, deg, entry = lax.fori_loop(
+        0, L - 1, upper_body, (state.nbr, state.deg, entry))
+
+    conn0 = valid & has_graph
+    st = state._replace(nbr=nbr, deg=deg)
+    nbr, deg, _ = _connect_at_layer(cfg, st, 0, ids, vecs, vn, entry, conn0,
+                                    2 * cfg.max_edges)
+
+    # Entry-point promotion (GraphConnector.cs:36-41): highest-level wave
+    # member wins if it exceeds the old top; first such member on ties.
+    lv_eff = jnp.where(valid, lvls, -2)
+    best_i = jnp.argmax(lv_eff)
+    best_lvl = lv_eff[best_i]
+    new_ep = jnp.where(best_lvl > old_top, ids[best_i], ep0).astype(jnp.int32)
+
+    return state._replace(
+        nbr=nbr, deg=deg, ep=new_ep,
+        count=state.count + jnp.sum(valid, dtype=jnp.int32))

@@ -1,0 +1,160 @@
+"""Graph storage: dense, fixed-shape HBM arrays.
+
+TPU-native replacement for the reference's pointer-based storage
+(src/HNSWIndex/GraphData.cs:12-278, Node.cs:1-107, ActiveSet.cs:1-125).
+Where the reference keeps a ``Node[]`` of per-node ``EdgeList`` objects with
+three locks apiece, the TPU build keeps one padded int32 neighbor table per
+level and updates it with functional array scatters — data races are
+structurally impossible, so the entire lock fabric (GraphLocker.cs,
+Node.cs:12-16, GraphData.cs:16,21,29) has no equivalent here.
+
+Layout (C = capacity, D = dim, L = max levels, K = table width = 2*M):
+
+* ``vectors  (C, D) f32`` — the reference's ``Items[]`` (GraphData.cs:18).
+* ``norms    (C,)   f32`` — cached metric norm data (no reference analog;
+  enables dot-product distance decomposition on the MXU).
+* ``level    (C,)   i32`` — per-node top layer (``Node.MaxLayer``,
+  Node.cs:27); -1 for never-used slots.
+* ``nbr   (L, C, K) i32`` — out-edges, -1 padded; level l row u holds
+  ``deg[l, u]`` valid entries in columns [0, deg).  Replaces
+  ``Node.OutEdges`` (Node.cs:22).  Layer 0 may use all K = 2*M columns;
+  upper layers are capped at M by the mutation kernels
+  (GraphData.cs:247-250).  Slots >= deg are always -1 (enforced invariant).
+* ``deg     (L, C) i32`` — out-degree per level (EdgeList.Count).
+* ``active   (C,) bool`` — live-node set, replacing ``ActiveSet``
+  (ActiveSet.cs:72-97).
+* ``ep       ()   i32`` — entry point id (GraphData.cs:22), -1 when empty.
+* ``count    ()   i32`` — number of active nodes (GraphData.cs:26).
+
+There is no in-edge table: the reference maintains ``Node.InEdges`` purely
+to find in-neighbors during removals (GraphData.cs:227-233); the TPU build
+recovers in-neighbors exactly with a vectorized equality scan over ``nbr``
+(see core/remove.py), trading a bandwidth-cheap full-table pass for
+unbounded per-node in-edge storage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import distance as dst
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Static (hashable) compile-time configuration for graph kernels."""
+
+    dim: int
+    metric: str = "sq_euclid"
+    max_edges: int = 16        # M
+    max_levels: int = 8        # L: static level-table height
+    ef_construction: int = 100
+    search_iter_factor: int = 8
+
+    @property
+    def table_width(self) -> int:
+        # Layer-0 degree cap is 2*M (GraphData.cs:247-250); the single
+        # uniform table is sized for the widest layer.
+        return 2 * self.max_edges
+
+    def max_degree(self, layer_is_base: bool) -> int:
+        return 2 * self.max_edges if layer_is_base else self.max_edges
+
+
+class GraphState(NamedTuple):
+    """Device-array pytree holding the whole index (see module docstring)."""
+
+    vectors: jnp.ndarray   # (C, D) f32
+    norms: jnp.ndarray     # (C,)   f32
+    level: jnp.ndarray     # (C,)   i32
+    nbr: jnp.ndarray       # (L, C, K) i32
+    deg: jnp.ndarray       # (L, C) i32
+    active: jnp.ndarray    # (C,)   bool
+    ep: jnp.ndarray        # ()     i32
+    count: jnp.ndarray     # ()     i32
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def num_levels(self) -> int:
+        return self.nbr.shape[0]
+
+
+def default_max_levels(capacity: int, distribution_rate: float) -> int:
+    """Static level-table height: expected max level + slack.
+
+    Levels are sampled as floor(-ln(U) * mL) (GraphData.cs:211-219); the
+    expected maximum over N draws is ~ln(N) * mL.  Oversampled levels are
+    clamped to the table height (negligible probability with +4 slack)."""
+    exp_max = math.log(max(capacity, 2)) * max(distribution_rate, 1e-6)
+    return max(4, int(exp_max) + 4)
+
+
+def empty_state(cfg: GraphConfig, capacity: int) -> GraphState:
+    C, D, L, K = capacity, cfg.dim, cfg.max_levels, cfg.table_width
+    return GraphState(
+        vectors=jnp.zeros((C, D), jnp.float32),
+        norms=jnp.zeros((C,), jnp.float32),
+        level=jnp.full((C,), -1, jnp.int32),
+        nbr=jnp.full((L, C, K), -1, jnp.int32),
+        deg=jnp.zeros((L, C), jnp.int32),
+        active=jnp.zeros((C,), bool),
+        ep=jnp.asarray(-1, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def grow_state(state: GraphState, new_capacity: int) -> GraphState:
+    """Capacity growth by padding (reference doubles arrays under the index
+    lock, GraphData.cs:95-115; here it is a functional reallocate-and-copy).
+    """
+    C = state.capacity
+    if new_capacity <= C:
+        return state
+    pad = new_capacity - C
+    return GraphState(
+        vectors=jnp.pad(state.vectors, ((0, pad), (0, 0))),
+        norms=jnp.pad(state.norms, (0, pad)),
+        level=jnp.pad(state.level, (0, pad), constant_values=-1),
+        nbr=jnp.pad(state.nbr, ((0, 0), (0, pad), (0, 0)),
+                    constant_values=-1),
+        deg=jnp.pad(state.deg, ((0, 0), (0, pad))),
+        active=jnp.pad(state.active, (0, pad)),
+        ep=state.ep,
+        count=state.count,
+    )
+
+
+def sample_levels(rng: np.random.Generator, n: int,
+                  distribution_rate: float, max_levels: int) -> np.ndarray:
+    """Vectorized exponential level sampling.
+
+    level = floor(-ln(U) * mL), U ~ Uniform(0,1) — GraphData.cs:211-219.
+    The host-side RNG is consumed sequentially so that seeded builds are
+    reproducible (parameters_test.py:60-81)."""
+    u = rng.random(n)
+    u = np.clip(u, 1e-30, None)
+    lv = np.floor(-np.log(u) * distribution_rate).astype(np.int32)
+    return np.clip(lv, 0, max_levels - 1)
+
+
+def seed_first_node(cfg: GraphConfig, state: GraphState, slot: int,
+                    vec: np.ndarray, lvl: int) -> GraphState:
+    """Insert the very first node: it becomes the entry point with no edges
+    (GraphConnector.cs:27-33)."""
+    v = jnp.asarray(vec, jnp.float32)
+    return state._replace(
+        vectors=state.vectors.at[slot].set(v),
+        norms=state.norms.at[slot].set(dst.norm_data(cfg.metric, v)),
+        level=state.level.at[slot].set(jnp.int32(lvl)),
+        active=state.active.at[slot].set(True),
+        ep=jnp.asarray(slot, jnp.int32),
+        count=state.count + 1,
+    )

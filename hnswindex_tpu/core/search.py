@@ -1,0 +1,353 @@
+"""Batched graph traversal: greedy descent + bounded beam search.
+
+TPU-native replacement for ``GraphNavigator`` (src/HNSWIndex/
+GraphNavigator.cs:27-325).  The reference's heap-driven sequential loops
+become fixed-shape batched state machines:
+
+* ``greedy_descent`` — the upper-layer entry-point walk
+  (FindEntryPoint / FindEntryAtLayer, GraphNavigator.cs:27-116).  One
+  ``lax.while_loop`` carries (current node, current layer) per query; each
+  iteration gathers the K neighbors of every query's current node, computes
+  all distances with one MXU einsum, and either hops to the best closer
+  neighbor or steps down a layer.
+* ``beam_search`` — SearchLayer / SearchLayerQuery
+  (GraphNavigator.cs:123-256).  The two binary heaps become one sorted
+  (dist, id, expanded) pool of static width ``ef`` per query, merged with
+  ``lax.sort`` each step; the versioned VisitedList (VisitedListPool.cs)
+  becomes a per-query visited bitmap updated by scatter.  Each iteration
+  expands the closest unexpanded pool entry — the exact node the
+  reference's frontier heap would pop — and a query terminates when its
+  pool has no unexpanded entry (the fixed-shape analog of the early-break
+  at GraphNavigator.cs:147-150).
+* ``range_search`` — SearchLayerRange (GraphNavigator.cs:262-325): the
+  traversal frontier is restricted to nodes within ``radius`` (the
+  reference pushes only neighbors with d <= range, :303) and every
+  in-range node reached is expanded; results are capped at a static pool
+  width, with saturation reported so the host can retry wider.
+
+Filtered queries (HNSWIndex.cs:111-117) carry a separate result pool:
+filtered-out nodes still steer traversal (the reference pushes them to the
+frontier heap but not to results, GraphNavigator.cs:235-239).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import distance as dst
+from .graph import GraphConfig, GraphState
+
+_INF = jnp.inf
+
+
+def _dist_to_nodes(metric, q, qn, vectors, norms, ids):
+    """Distances from each query (B, D) to its own node id column(s)."""
+    C = vectors.shape[0]
+    idc = jnp.clip(ids, 0, C - 1)
+    if ids.ndim == 1:
+        dots = jnp.einsum("bd,bd->b", q, vectors[idc],
+                          precision=dst.DOT_PRECISION,
+                          preferred_element_type=jnp.float32)
+        return dst.from_dot(metric, dots, qn, norms[idc])
+    return dst.gathered(metric, q, qn, vectors[idc], norms[idc])
+
+
+# ---------------------------------------------------------------------------
+# Greedy upper-layer descent
+# ---------------------------------------------------------------------------
+
+class _GreedyCarry(NamedTuple):
+    cur: jnp.ndarray    # (B,) current node id
+    curd: jnp.ndarray   # (B,) its distance
+    lay: jnp.ndarray    # (B,) current layer
+    it: jnp.ndarray
+
+
+def greedy_descent(cfg: GraphConfig, state: GraphState,
+                   q: jnp.ndarray, qn: jnp.ndarray,
+                   start: jnp.ndarray, start_layer: jnp.ndarray,
+                   stop_layer: jnp.ndarray,
+                   max_iters: int = 4096):
+    """Walk layers (start_layer .. stop_layer+1], greedily moving to closer
+    neighbors within each layer before stepping down.
+
+    ``start``/``start_layer``/``stop_layer`` are (B,) per-query (items in a
+    construction wave descend to different layers).  Returns the (B,) entry
+    node for layer ``stop_layer`` and its distance.  Matches
+    FindEntryPoint's loop structure (GraphNavigator.cs:27-45): layers
+    <= stop_layer are not walked.
+    """
+    B = q.shape[0]
+    C = state.capacity
+    L = state.num_levels
+    rows = jnp.arange(B)
+
+    curd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+                          start)
+    init = _GreedyCarry(cur=start.astype(jnp.int32), curd=curd,
+                        lay=start_layer.astype(jnp.int32),
+                        it=jnp.asarray(0, jnp.int32))
+
+    def active_of(c):
+        return (c.lay > stop_layer) & (c.cur >= 0)
+
+    def cond(c):
+        return (c.it < max_iters) & jnp.any(active_of(c))
+
+    def body(c):
+        act = active_of(c)
+        layc = jnp.clip(c.lay, 0, L - 1)
+        curc = jnp.clip(c.cur, 0, C - 1)
+        nb = state.nbr[layc, curc]                       # (B, K)
+        nbv = (nb >= 0) & act[:, None]
+        nd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+                            jnp.where(nbv, nb, 0))
+        nd = jnp.where(nbv, nd, _INF)
+        best = jnp.argmin(nd, axis=1)
+        bd = nd[rows, best]
+        improved = (bd < c.curd) & act
+        cur = jnp.where(improved, nb[rows, best], c.cur)
+        curd = jnp.where(improved, bd, c.curd)
+        # no improvement at this layer -> descend one layer, same node
+        lay = jnp.where(act & ~improved, c.lay - 1, c.lay)
+        return _GreedyCarry(cur, curd, lay, c.it + 1)
+
+    out = lax.while_loop(cond, body, init)
+    return out.cur, out.curd
+
+
+# ---------------------------------------------------------------------------
+# Beam search (SearchLayer / SearchLayerQuery)
+# ---------------------------------------------------------------------------
+
+class _BeamCarry(NamedTuple):
+    bd: jnp.ndarray       # (B, ef) pool distances, ascending
+    bi: jnp.ndarray       # (B, ef) pool ids, -1 pad
+    bx: jnp.ndarray       # (B, ef) expanded flags (i32 0/1)
+    rd: jnp.ndarray       # (B, rf) result pool (filtered mode) or (B, 0)
+    ri: jnp.ndarray
+    visited: jnp.ndarray  # (B, C+1) bool
+    it: jnp.ndarray
+
+
+def _merge_pool(keys, ids, flags, width):
+    """Sort (dist, id, flag) triples ascending by dist; keep best ``width``."""
+    sd, si, sx = lax.sort((keys, ids, flags), num_keys=1)
+    return sd[:, :width], si[:, :width], sx[:, :width]
+
+
+@partial(jax.jit, static_argnames=("cfg", "ef", "max_iters", "filtered"))
+def beam_search(cfg: GraphConfig, state: GraphState,
+                q: jnp.ndarray, qn: jnp.ndarray,
+                ep: jnp.ndarray, ep_ok: jnp.ndarray,
+                layer, ef: int, max_iters: int,
+                filtered: bool = False,
+                filter_mask: jnp.ndarray | None = None):
+    """Best-first beam search at one layer for a batch of queries.
+
+    Args:
+      q (B, D), qn (B,): queries and their norm data.
+      ep (B,): per-query entry node (from greedy_descent); ep_ok masks
+        queries with a valid entry (inactive queries return empty pools).
+      layer: traced scalar layer index.
+      ef: static pool width (= max(MinNN, k) for queries, HNSWIndex.cs:115;
+        = MaxCandidates during construction, GraphConnector.cs:189).
+      filtered/filter_mask: optional (C,) bool of allowed result ids.
+
+    Returns (dists (B, ef), ids (B, ef)) ascending, -1/inf padded — the
+    reference's topCandidates heap contents (GraphNavigator.cs:188).
+    """
+    B = q.shape[0]
+    C = state.capacity
+    rows = jnp.arange(B)
+    nbr_l = lax.dynamic_index_in_dim(state.nbr, jnp.asarray(layer, jnp.int32),
+                                     axis=0, keepdims=False)  # (C, K)
+
+    epc = jnp.clip(ep, 0, C - 1)
+    d0 = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms, epc)
+    d0 = jnp.where(ep_ok, d0, _INF)
+    ep_eff = jnp.where(ep_ok, ep, -1)
+
+    bd = jnp.full((B, ef), _INF, jnp.float32).at[:, 0].set(d0)
+    bi = jnp.full((B, ef), -1, jnp.int32).at[:, 0].set(ep_eff)
+    bx = jnp.zeros((B, ef), jnp.int32)
+    visited = jnp.zeros((B, C + 1), bool)
+    visited = visited.at[rows, jnp.where(ep_ok, epc, C)].set(True)
+
+    if filtered:
+        rf = ef
+        allow0 = filter_mask[epc] & ep_ok
+        rd = jnp.full((B, rf), _INF, jnp.float32).at[:, 0].set(
+            jnp.where(allow0, d0, _INF))
+        ri = jnp.full((B, rf), -1, jnp.int32).at[:, 0].set(
+            jnp.where(allow0, ep, -1))
+    else:
+        rd = jnp.zeros((B, 0), jnp.float32)
+        ri = jnp.zeros((B, 0), jnp.int32)
+
+    init = _BeamCarry(bd, bi, bx, rd, ri, visited,
+                      jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        return (s.it < max_iters) & jnp.any((s.bx == 0) & (s.bi >= 0))
+
+    def body(s):
+        unexp = (s.bx == 0) & (s.bi >= 0)
+        has = jnp.any(unexp, axis=1)
+        pos = jnp.argmax(unexp, axis=1)      # first (closest) unexpanded
+        eid = s.bi[rows, pos]
+        eidc = jnp.clip(eid, 0, C - 1)
+        bx = s.bx.at[rows, pos].set(1)
+
+        nb = nbr_l[eidc]                      # (B, K)
+        nbv = (nb >= 0) & has[:, None]
+        nbc = jnp.where(nbv, nb, C)           # C = junk visited column
+        seen = s.visited[rows[:, None], nbc]
+        fresh = nbv & ~seen
+        visited = s.visited.at[rows[:, None], nbc].set(True)
+
+        nd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+                            jnp.where(fresh, nb, 0))
+        nd = jnp.where(fresh, nd, _INF)
+        nid = jnp.where(fresh, nb, -1)
+
+        md = jnp.concatenate([s.bd, nd], axis=1)
+        mi = jnp.concatenate([s.bi, nid], axis=1)
+        mx = jnp.concatenate([bx, jnp.zeros_like(nid)], axis=1)
+        bd2, bi2, bx2 = _merge_pool(md, mi, mx, ef)
+
+        if filtered:
+            allow = filter_mask[jnp.clip(nid, 0, C - 1)] & fresh
+            rdm = jnp.concatenate([s.rd, jnp.where(allow, nd, _INF)], axis=1)
+            rim = jnp.concatenate([s.ri, jnp.where(allow, nid, -1)], axis=1)
+            rd2, ri2, _ = _merge_pool(rdm, rim,
+                                      jnp.zeros_like(rim), s.rd.shape[1])
+        else:
+            rd2, ri2 = s.rd, s.ri
+
+        return _BeamCarry(bd2, bi2, bx2, rd2, ri2, visited, s.it + 1)
+
+    out = lax.while_loop(cond, body, init)
+    if filtered:
+        return out.rd, out.ri
+    return out.bd, out.bi
+
+
+# ---------------------------------------------------------------------------
+# Range search (SearchLayerRange)
+# ---------------------------------------------------------------------------
+
+class _RangeCarry(NamedTuple):
+    bd: jnp.ndarray
+    bi: jnp.ndarray
+    bx: jnp.ndarray
+    visited: jnp.ndarray
+    it: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool", "max_iters", "filtered"))
+def range_search(cfg: GraphConfig, state: GraphState,
+                 q: jnp.ndarray, qn: jnp.ndarray,
+                 ep: jnp.ndarray, ep_ok: jnp.ndarray,
+                 layer, radius, pool: int, max_iters: int,
+                 filtered: bool = False,
+                 filter_mask: jnp.ndarray | None = None):
+    """All nodes within ``radius``, BFS over the in-range subgraph.
+
+    Mirrors SearchLayerRange (GraphNavigator.cs:262-325): only neighbors
+    with d <= radius join the frontier (:303), and every in-range node is
+    expanded.  The entry node is expanded even when out of range (the
+    reference pushes it unconditionally, :277).
+
+    Returns (dists, ids, saturated (B,) bool); ``saturated`` flags queries
+    whose static result pool overflowed — the host retries with a larger
+    pool (the reference's heaps grow dynamically instead).
+    """
+    B = q.shape[0]
+    C = state.capacity
+    rows = jnp.arange(B)
+    nbr_l = lax.dynamic_index_in_dim(state.nbr, jnp.asarray(layer, jnp.int32),
+                                     axis=0, keepdims=False)
+
+    epc = jnp.clip(ep, 0, C - 1)
+    d0 = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms, epc)
+    d0 = jnp.where(ep_ok, d0, _INF)
+
+    # pool entries: in-range nodes (plus the entry node, which may be out of
+    # range but must be expanded once; it is masked out of final results if
+    # out of range).
+    bd = jnp.full((B, pool), _INF, jnp.float32).at[:, 0].set(d0)
+    bi = jnp.full((B, pool), -1, jnp.int32).at[:, 0].set(
+        jnp.where(ep_ok, ep, -1))
+    bx = jnp.zeros((B, pool), jnp.int32)
+    visited = jnp.zeros((B, C + 1), bool)
+    visited = visited.at[rows, jnp.where(ep_ok, epc, C)].set(True)
+    init = _RangeCarry(bd, bi, bx, visited, jnp.asarray(0, jnp.int32))
+
+    def cond(s):
+        return (s.it < max_iters) & jnp.any((s.bx == 0) & (s.bi >= 0))
+
+    def body(s):
+        unexp = (s.bx == 0) & (s.bi >= 0)
+        has = jnp.any(unexp, axis=1)
+        pos = jnp.argmax(unexp, axis=1)
+        eid = s.bi[rows, pos]
+        eidc = jnp.clip(eid, 0, C - 1)
+        bx = s.bx.at[rows, pos].set(1)
+
+        nb = nbr_l[eidc]
+        nbv = (nb >= 0) & has[:, None]
+        nbc = jnp.where(nbv, nb, C)
+        seen = s.visited[rows[:, None], nbc]
+        fresh = nbv & ~seen
+        visited = s.visited.at[rows[:, None], nbc].set(True)
+
+        nd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+                            jnp.where(fresh, nb, 0))
+        keep = fresh & (nd <= radius)          # GraphNavigator.cs:303
+        nd = jnp.where(keep, nd, _INF)
+        nid = jnp.where(keep, nb, -1)
+
+        md = jnp.concatenate([s.bd, nd], axis=1)
+        mi = jnp.concatenate([s.bi, nid], axis=1)
+        mx = jnp.concatenate([bx, jnp.zeros_like(nid)], axis=1)
+        bd2, bi2, bx2 = _merge_pool(md, mi, mx, pool)
+        return _RangeCarry(bd2, bi2, bx2, visited, s.it + 1)
+
+    out = lax.while_loop(cond, body, init)
+    ok = (out.bi >= 0) & (out.bd <= radius)
+    if filtered:
+        ok = ok & filter_mask[jnp.clip(out.bi, 0, C - 1)]
+    n_res = jnp.sum(ok, axis=1)
+    saturated = n_res >= pool
+    return (jnp.where(ok, out.bd, _INF), jnp.where(ok, out.bi, -1),
+            saturated)
+
+
+# ---------------------------------------------------------------------------
+# Full query pipelines (FindEntryPointQuery + SearchLayerQuery)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "ef", "max_iters", "filtered"))
+def knn_search(cfg: GraphConfig, state: GraphState, q: jnp.ndarray,
+               layer, ef: int, max_iters: int,
+               filtered: bool = False,
+               filter_mask: jnp.ndarray | None = None):
+    """KnnQuery hot path (HNSWIndex.cs:107-123): greedy-descend from the
+    global entry point to ``layer``, then beam-search with width ``ef``.
+
+    Returns (dists (B, ef), ids (B, ef)) ascending."""
+    B = q.shape[0]
+    qn = dst.norm_data(cfg.metric, q)
+    ep = jnp.broadcast_to(state.ep, (B,))
+    ep_ok = ep >= 0
+    ep_layer = jnp.where(ep_ok, state.level[jnp.clip(ep, 0, None)], -1)
+    stop = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (B,))
+    entry, _ = greedy_descent(cfg, state, q, qn, ep, ep_layer, stop)
+    return beam_search(cfg, state, q, qn, entry, ep_ok, layer, ef,
+                       max_iters, filtered, filter_mask)

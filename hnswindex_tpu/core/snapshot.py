@@ -1,0 +1,94 @@
+"""Index serialization: save / restore the whole graph.
+
+TPU-native replacement for the reference's protobuf-net snapshot system
+(src/HNSWIndex/HNSWIndexSnapshot.cs:9-25, GraphDataSnapshot.cs:10-70,
+HNSWIndex.cs:210-229).  Matching the reference's design decisions:
+
+* parameters are embedded in the snapshot (HNSWIndexSnapshot.cs:13);
+* the free-slot list, entry point, capacity/length and active ids are all
+  preserved (GraphDataSnapshot.cs:62-67);
+* the distance function is code, not data — the metric *name* is stored
+  and revalidated on load (the reference re-supplies the delegate at
+  Deserialize, HNSWIndex.cs:222);
+* arrays are stored compacted to ``length`` rows and re-padded to capacity
+  on load (GraphDataSnapshot.cs:37-55's ParsedItems/ParsedNodes).
+
+Format: a single ``.npz`` with a JSON header — numpy's container format is
+the natural TPU-host interchange and loads straight into device arrays.
+Round-trip is exact, which the reference's tests demand
+(GraphSerializationTests.cs:29-42: identical ids *and* distances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import HNSWParameters
+from .graph import GraphConfig, GraphState
+
+FORMAT_VERSION = 1
+
+
+def save(path: str, cfg: GraphConfig, params: HNSWParameters,
+         state: GraphState, length: int, free: list[int],
+         dim: int) -> None:
+    header = {
+        "format_version": FORMAT_VERSION,
+        "dim": dim,
+        "metric": cfg.metric,
+        "length": int(length),
+        "capacity": int(state.capacity),
+        "max_levels": int(state.num_levels),
+        "ep": int(state.ep),
+        "count": int(state.count),
+        "parameters": dataclasses.asdict(params),
+    }
+    n = int(length)
+    np.savez_compressed(
+        path,
+        header=np.frombuffer(json.dumps(header).encode(), dtype=np.uint8),
+        vectors=np.asarray(state.vectors)[:n],
+        norms=np.asarray(state.norms)[:n],
+        level=np.asarray(state.level)[:n],
+        nbr=np.asarray(state.nbr)[:, :n, :],
+        deg=np.asarray(state.deg)[:, :n],
+        active=np.asarray(state.active)[:n],
+        free=np.asarray(free, dtype=np.int32),
+    )
+
+
+def load(path: str):
+    """Returns (header dict, params, state arrays re-padded to capacity,
+    free list)."""
+    with np.load(path if str(path).endswith(".npz") else path) as z:
+        header = json.loads(bytes(z["header"]).decode())
+        if header["format_version"] != FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported snapshot version {header['format_version']}")
+        C = header["capacity"]
+        n = header["length"]
+        L = header["max_levels"]
+        D = header["dim"]
+        pad = C - n
+
+        state = GraphState(
+            vectors=jnp.asarray(np.pad(z["vectors"], ((0, pad), (0, 0)))),
+            norms=jnp.asarray(np.pad(z["norms"], (0, pad))),
+            level=jnp.asarray(np.pad(z["level"], (0, pad),
+                                     constant_values=-1)),
+            nbr=jnp.asarray(np.pad(z["nbr"], ((0, 0), (0, pad), (0, 0)),
+                                   constant_values=-1)),
+            deg=jnp.asarray(np.pad(z["deg"], ((0, 0), (0, pad)))),
+            active=jnp.asarray(np.pad(z["active"], (0, pad))),
+            ep=jnp.asarray(header["ep"], jnp.int32),
+            count=jnp.asarray(header["count"], jnp.int32),
+        )
+        assert state.vectors.shape == (C, D)
+        assert state.nbr.shape[0] == L
+        params = HNSWParameters(**header["parameters"])
+        free = [int(x) for x in z["free"]]
+    return header, params, state, free

@@ -1,0 +1,447 @@
+"""`HNSWIndex` — the full-featured index facade.
+
+TPU-native equivalent of the reference's public .NET surface
+(src/HNSWIndex/HNSWIndex.cs:6-262): add / remove (single + batch),
+knn / range / multi-layer queries with optional filters and layer argument,
+per-layer degree statistics, connected components, serialization, and
+items/ids/count introspection.
+
+Host/device split: the device owns all graph state (`core.graph.GraphState`)
+and every hot kernel (search, construction waves, repair); the host owns
+slot allocation, the free list (GraphData.cs:19,85-91), level sampling RNG
+(GraphData.cs:211-219), capacity growth (GraphData.cs:95-115), wave
+scheduling and shape bucketing (so a handful of compilations serve any
+workload size).
+
+Batching model: the reference exposes thread-parallel single-item ops
+(`Parallel.For` wrappers, HNSWIndex.cs:70-78,94-100,129-137); the TPU
+analog is explicit batch ops — `add(batch)` builds with insert waves,
+`knn_query(batch)` runs one device program per query bucket.
+
+Returned distances are *refined*: search ranks with f32 dot-product
+distances on the MXU, then the returned (id, distance) pairs are recomputed
+in float64 on the host and re-sorted, matching the numeric contract of the
+reference's scalar kernels (metric_test.py oracle comparisons at 1e-5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .core import graph as G
+from .core import remove as R
+from .core import snapshot, stats
+from .core.construct import insert_wave
+from .core.search import knn_search, range_search
+from .ops import distance as dst
+from .params import HNSWParameters
+
+WAVE_BUCKETS = (1, 8, 64, 512)
+QUERY_BUCKETS = (1, 16, 128, 1024)
+REMOVE_BUCKETS = (1, 16, 128, 1024)
+AFFECTED_CHUNK = 256
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+def _as_2d_f32(x, dim: int) -> np.ndarray:
+    a = np.asarray(x, dtype=np.float32)
+    if a.ndim == 1:
+        a = a.reshape(1, -1)
+    if a.ndim != 2:
+        raise ValueError("expected a 2D array of shape (n, dim) or a 1D "
+                         "vector")
+    if a.shape[1] != dim:
+        raise ValueError(f"expected dim={dim}, got {a.shape[1]}")
+    return np.ascontiguousarray(a)
+
+
+class HNSWIndex:
+    """TPU-native HNSW index (see module docstring)."""
+
+    def __init__(self, dim: int, metric: str = "sq_euclid",
+                 parameters: Optional[HNSWParameters] = None):
+        dst.check_metric(metric)
+        self.dim = int(dim)
+        self.metric = metric
+        self.params = parameters or HNSWParameters()
+        self.params.validate()
+
+        p = self.params
+        capacity = _next_pow2(max(p.collection_size, 2))
+        max_levels = G.default_max_levels(capacity, p.distribution_rate)
+        self._cfg = G.GraphConfig(
+            dim=self.dim, metric=metric, max_edges=p.max_edges,
+            max_levels=max_levels, ef_construction=p.max_candidates,
+            search_iter_factor=p.search_iter_factor)
+        self._state = G.empty_state(self._cfg, capacity)
+        seed = p.random_seed if p.random_seed >= 0 else None
+        self._rng = np.random.default_rng(seed)
+        self._free: List[int] = []   # freed slots (GraphData.cs:19)
+        self._length = 0             # high-water slot mark (GraphData.cs:25)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    def _grow_to(self, needed: int) -> None:
+        C = self._state.capacity
+        if needed <= C:
+            return
+        newC = C
+        while newC < needed:
+            newC *= 2                      # GraphData.cs:100
+        self._state = G.grow_state(self._state, newC)
+
+    def _alloc_slots(self, n: int) -> np.ndarray:
+        slots = []
+        # freed slots are reused only when removals are enabled
+        # (GraphData.cs:85-91)
+        if self.params.allow_removals:
+            while self._free and len(slots) < n:
+                slots.append(self._free.pop())
+        fresh = n - len(slots)
+        if fresh:
+            self._grow_to(self._length + fresh)
+            slots.extend(range(self._length, self._length + fresh))
+            self._length += fresh
+        return np.asarray(slots, dtype=np.int32)
+
+    def add(self, vecs) -> np.ndarray:
+        """Insert a batch; returns the assigned int32 ids
+        (HNSWIndex.cs:55-78)."""
+        a = _as_2d_f32(vecs, self.dim)
+        n = a.shape[0]
+        if n == 0:
+            return np.empty(0, dtype=np.int32)
+        lvls = G.sample_levels(self._rng, n, self.params.distribution_rate,
+                               self._cfg.max_levels)
+        ids = self._alloc_slots(n)
+
+        i = 0
+        if int(self._state.ep) < 0:
+            # bootstrap: the first node becomes the entry point with no
+            # edges (GraphConnector.cs:27-33)
+            self._state = G.seed_first_node(self._cfg, self._state,
+                                            int(ids[0]), a[0], int(lvls[0]))
+            i = 1
+
+        while i < n:
+            built = int(self._state.count)
+            w = min(self.params.max_wave_size, max(1, built), n - i)
+            b = _bucket(w, WAVE_BUCKETS)
+            wid = np.full(b, -1, dtype=np.int32)
+            wvec = np.zeros((b, self.dim), dtype=np.float32)
+            wlvl = np.zeros(b, dtype=np.int32)
+            valid = np.zeros(b, dtype=bool)
+            wid[:w] = ids[i:i + w]
+            wvec[:w] = a[i:i + w]
+            wlvl[:w] = lvls[i:i + w]
+            valid[:w] = True
+            self._state = insert_wave(
+                self._cfg, self._state, jnp.asarray(wid), jnp.asarray(wvec),
+                jnp.asarray(wlvl), jnp.asarray(valid))
+            i += w
+        return ids
+
+    # ------------------------------------------------------------------
+    # removal
+    # ------------------------------------------------------------------
+
+    def remove(self, ids) -> None:
+        """Remove a batch by id with graph repair (HNSWIndex.cs:83-100)."""
+        if not self.params.allow_removals:
+            # InvalidOperationException analog (HNSWIndex.cs:85-86)
+            raise RuntimeError("Removals are disabled in this index "
+                               "instance.")
+        arr = np.asarray(ids, dtype=np.int32).ravel()
+        if arr.size == 0:
+            return
+        active = np.asarray(self._state.active)
+        arr = arr[(arr >= 0) & (arr < active.shape[0])]
+        arr = arr[active[arr]]
+        if arr.size == 0:
+            return
+        lvl = np.asarray(self._state.level)
+        cfg = self._cfg
+        efR = self.params.remove_max_candidates
+        max_iters = cfg.search_iter_factor * efR + 16
+
+        for start in range(0, arr.size, REMOVE_BUCKETS[-1]):
+            wave = arr[start:start + REMOVE_BUCKETS[-1]]
+            b = _bucket(wave.size, REMOVE_BUCKETS)
+            rem = np.full(b, -1, dtype=np.int32)
+            rem[:wave.size] = wave
+            rem_j = jnp.asarray(rem)
+
+            self._state = R.mark_removed(cfg, self._state, rem_j)
+            top = int(lvl[wave].max())
+            for l in range(top, -1, -1):
+                layer = jnp.asarray(l, jnp.int32)
+                scand = R.repair_candidates(cfg, self._state, rem_j, layer,
+                                            efR, max_iters)
+                aff = np.flatnonzero(np.asarray(
+                    R.affected_mask(cfg, self._state, rem_j, layer)))
+                max_deg = cfg.max_degree(l == 0)
+                for cstart in range(0, aff.size, AFFECTED_CHUNK):
+                    chunk = aff[cstart:cstart + AFFECTED_CHUNK]
+                    cpad = np.full(AFFECTED_CHUNK, -1, dtype=np.int32)
+                    cpad[:chunk.size] = chunk
+                    self._state = R.repair_chunk(
+                        cfg, self._state, jnp.asarray(cpad), rem_j, scand,
+                        layer, max_deg, efR)
+                self._state = R.clear_removed_rows(cfg, self._state, rem_j,
+                                                   layer)
+            self._free.extend(int(x) for x in wave)
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+
+    def _build_filter_mask(self, filter_fnc) -> Optional[jnp.ndarray]:
+        if filter_fnc is None:
+            return None
+        C = self._state.capacity
+        if callable(filter_fnc):
+            # reference filter signature: predicate over the stored vector
+            # (HNSWIndex.cs:111-113)
+            active = np.asarray(self._state.active)
+            vectors = np.asarray(self._state.vectors)
+            mask = np.zeros(C, dtype=bool)
+            for i in np.flatnonzero(active):
+                mask[i] = bool(filter_fnc(vectors[i]))
+            return jnp.asarray(mask)
+        mask = np.asarray(filter_fnc, dtype=bool)
+        if mask.shape != (C,):
+            m = np.zeros(C, dtype=bool)
+            m[np.asarray(filter_fnc, dtype=np.int64)] = True
+            return jnp.asarray(m)
+        return jnp.asarray(mask)
+
+    def _refine(self, q: np.ndarray, ids: np.ndarray, k: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Recompute returned distances in float64 and re-sort each row."""
+        B = q.shape[0]
+        idc = np.clip(ids, 0, self._state.capacity - 1)
+        vecs = np.asarray(self._state.vectors)[idc].astype(np.float64)
+        qq = q.astype(np.float64)[:, None, :]
+        if self.metric == "sq_euclid":
+            d = np.sum((qq - vecs) ** 2, axis=-1)
+        else:
+            dot = np.sum(qq * vecs, axis=-1)
+            if self.metric == "cosine":
+                qn = np.linalg.norm(qq, axis=-1)
+                cn = np.linalg.norm(vecs, axis=-1)
+                denom = qn * cn
+                d = np.where(denom > 0, 1.0 - dot / np.where(denom > 0,
+                                                             denom, 1.0), 1.0)
+            else:
+                d = 1.0 - dot
+        d = np.where(ids >= 0, d, np.inf)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        rows = np.arange(B)[:, None]
+        out_ids = ids[rows, order]
+        out_d = d[rows, order].astype(np.float32)
+        out_d = np.where(out_ids >= 0, out_d, np.nan)  # pad semantics of
+        # the reference C ABI (HNSWIndexExports.cs:144: id=-1, dist=NaN)
+        return out_ids.astype(np.int32), out_d
+
+    def knn_query(self, queries, k: int,
+                  filter_fnc=None, layer: int = 0
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched k-NN (HNSWIndex.cs:107-137).  Returns
+        (ids (n, k) int32, dists (n, k) float32), -1/NaN padded."""
+        q = _as_2d_f32(queries, self.dim)
+        n = q.shape[0]
+        if int(self._state.count) <= 0 or k < 1:
+            return (np.full((n, k), -1, np.int32),
+                    np.full((n, k), np.nan, np.float32))
+        ef = max(self.params.min_nn, k)          # HNSWIndex.cs:115
+        max_iters = self._cfg.search_iter_factor * ef + 16
+        fmask = self._build_filter_mask(filter_fnc)
+
+        out_ids = np.empty((n, k), np.int32)
+        out_d = np.empty((n, k), np.float32)
+        i = 0
+        while i < n:
+            w = min(QUERY_BUCKETS[-1], n - i)
+            b = _bucket(w, QUERY_BUCKETS)
+            qpad = np.zeros((b, self.dim), np.float32)
+            qpad[:w] = q[i:i + w]
+            _, ids = knn_search(
+                self._cfg, self._state, jnp.asarray(qpad),
+                jnp.asarray(layer, jnp.int32), ef, max_iters,
+                filtered=fmask is not None, filter_mask=fmask)
+            ids_np = np.asarray(ids)[:w]
+            out_ids[i:i + w], out_d[i:i + w] = self._refine(
+                q[i:i + w], ids_np, k)
+            i += w
+        return out_ids, out_d
+
+    def range_query(self, queries, radius: float,
+                    filter_fnc=None, layer: int = 0
+                    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        """Batched radius search (HNSWIndex.cs:144-168).  Returns ragged
+        per-query (ids, dists) lists, ascending by distance."""
+        q = _as_2d_f32(queries, self.dim)
+        n = q.shape[0]
+        ids_out: List[np.ndarray] = []
+        d_out: List[np.ndarray] = []
+        if int(self._state.count) <= 0:
+            return ([np.empty(0, np.int32) for _ in range(n)],
+                    [np.empty(0, np.float32) for _ in range(n)])
+        fmask = self._build_filter_mask(filter_fnc)
+
+        i = 0
+        while i < n:
+            w = min(QUERY_BUCKETS[-1], n - i)
+            b = _bucket(w, QUERY_BUCKETS)
+            qpad = np.zeros((b, self.dim), np.float32)
+            qpad[:w] = q[i:i + w]
+            qj = jnp.asarray(qpad)
+            pool = 64
+            while True:
+                d, ids, sat = self._range_once(qj, radius, layer, pool,
+                                               fmask)
+                if not bool(np.asarray(sat)[:w].any()):
+                    break
+                pool *= 2   # static pool overflowed; retry wider
+            ids_np = np.asarray(ids)[:w]
+            for r in range(w):
+                row = ids_np[r]
+                row = row[row >= 0]
+                rid, rd = self._refine(q[i + r:i + r + 1],
+                                       row[None, :] if row.size else
+                                       np.full((1, 1), -1, np.int32),
+                                       max(row.size, 1))
+                keep = (rid[0] >= 0) & (rd[0] <= radius)
+                ids_out.append(rid[0][keep])
+                d_out.append(rd[0][keep])
+            i += w
+        return ids_out, d_out
+
+    def _range_once(self, qj, radius, layer, pool, fmask):
+        qn = dst.norm_data(self.metric, qj)
+        B = qj.shape[0]
+        ep = jnp.broadcast_to(self._state.ep, (B,))
+        ep_ok = ep >= 0
+        from .core.search import greedy_descent
+        ep_layer = jnp.where(ep_ok,
+                             self._state.level[jnp.clip(ep, 0, None)], -1)
+        stop = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (B,))
+        entry, _ = greedy_descent(self._cfg, self._state, qj, qn, ep,
+                                  ep_layer, stop)
+        return range_search(
+            self._cfg, self._state, qj, qn, entry, ep_ok,
+            jnp.asarray(layer, jnp.int32), jnp.float32(radius), pool,
+            pool * 4 + 16, filtered=fmask is not None, filter_mask=fmask)
+
+    def multi_layer_knn_query(self, query, k: int,
+                              max_layer: int = 2 ** 30, min_layer: int = 0
+                              ) -> List[Optional[Tuple[np.ndarray,
+                                                       np.ndarray]]]:
+        """Per-layer k-NN chain (MultiLayerKnnQuery, HNSWIndex.cs:173-187):
+        search each layer from the top, chain the best hit as the next
+        entry point, and report the *other* candidates per layer (the
+        reference drops the closest, HNSWIndex.cs:184).
+
+        Returns a list indexed by layer id; entries below ``min_layer`` are
+        None."""
+        if int(self._state.count) <= 0 or k < 1:
+            return []
+        q = _as_2d_f32(query, self.dim)[:1]
+        qj = jnp.asarray(q)
+        qn = dst.norm_data(self.metric, qj)
+        ep = int(self._state.ep)
+        ep_level = int(np.asarray(self._state.level)[ep])
+
+        from .core.search import beam_search, greedy_descent
+        if ep_level >= max_layer:
+            entry, _ = greedy_descent(
+                self._cfg, self._state, qj, qn,
+                jnp.asarray([ep], jnp.int32),
+                jnp.asarray([ep_level], jnp.int32),
+                jnp.asarray([max_layer], jnp.int32))
+            ep = int(entry[0])
+            ep_level = max_layer if ep_level > max_layer else ep_level
+
+        top = min(ep_level, max_layer)
+        result: List[Optional[Tuple[np.ndarray, np.ndarray]]] = \
+            [None] * (top + 1)
+        max_iters = self._cfg.search_iter_factor * k + 16
+        for layer in range(top, min_layer - 1, -1):
+            _, ids = beam_search(
+                self._cfg, self._state, qj, qn,
+                jnp.asarray([ep], jnp.int32), jnp.asarray([True]),
+                jnp.asarray(layer, jnp.int32), k, max_iters)
+            ids_np = np.asarray(ids)[0]
+            rid, rd = self._refine(q, ids_np[None, :], k)
+            valid = rid[0] >= 0
+            ep = int(rid[0][0]) if valid.any() else ep
+            result[layer] = (rid[0][valid][1:], rd[0][valid][1:])
+        return result
+
+    # ------------------------------------------------------------------
+    # introspection / persistence
+    # ------------------------------------------------------------------
+
+    def get_info(self) -> stats.HNSWInfo:
+        """Per-layer degree statistics (HNSWIndex.cs:192-196)."""
+        return stats.graph_info(self._cfg, self._state,
+                                report_in_edges=self.params.allow_removals)
+
+    def get_connected_component_counts(self) -> List[int]:
+        """Weak components per layer (HNSWIndex.cs:202-205)."""
+        return stats.connected_component_counts(self._cfg, self._state)
+
+    def serialize(self, path: str) -> None:
+        """Snapshot to file (HNSWIndex.cs:210-217)."""
+        snapshot.save(path, self._cfg, self.params, self._state,
+                      self._length, self._free, self.dim)
+
+    @classmethod
+    def deserialize(cls, path: str) -> "HNSWIndex":
+        """Restore from a snapshot (HNSWIndex.cs:222-229)."""
+        header, params, state, free = snapshot.load(path)
+        idx = cls.__new__(cls)
+        idx.dim = header["dim"]
+        idx.metric = header["metric"]
+        idx.params = params
+        idx._cfg = G.GraphConfig(
+            dim=idx.dim, metric=idx.metric, max_edges=params.max_edges,
+            max_levels=header["max_levels"],
+            ef_construction=params.max_candidates,
+            search_iter_factor=params.search_iter_factor)
+        idx._state = state
+        seed = params.random_seed if params.random_seed >= 0 else None
+        idx._rng = np.random.default_rng(seed)
+        idx._free = free
+        idx._length = header["length"]
+        return idx
+
+    def items(self) -> np.ndarray:
+        """Active stored vectors (HNSWIndex.cs:234-237)."""
+        return np.asarray(self._state.vectors)[self.ids()]
+
+    def ids(self) -> np.ndarray:
+        """Active ids (HNSWIndex.cs:242-245)."""
+        return np.flatnonzero(np.asarray(self._state.active)).astype(
+            np.int32)
+
+    @property
+    def count(self) -> int:
+        """Number of active items (HNSWIndex.cs:250)."""
+        return int(self._state.count)

@@ -1,0 +1,82 @@
+"""Index configuration.
+
+TPU-native analog of the reference's ``HNSWParameters<TDistance>``
+(src/HNSWIndex/HNSWParameters.cs:7-56).  Field names mirror the reference's
+parameters one to one (snake_cased); defaults are identical.
+
+Two extra knobs exist only because the TPU build is wave-batched and
+fixed-shape where the reference is pointer-chasing:
+
+* ``max_wave_size`` — upper bound on how many inserts are batched into one
+  device "wave" (the TPU replacement for the reference's ``Parallel.For``
+  over individual ``Add`` calls, src/HNSWIndex/HNSWIndex.cs:70-78).
+* ``search_iter_factor`` — hard bound multiplier on beam-search iterations
+  (the reference's while-loops at GraphNavigator.cs:143,214 are unbounded;
+  XLA needs a bound for ``lax.while_loop`` cost modelling; the loop still
+  terminates early exactly like the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass
+class HNSWParameters:
+    """Mirror of HNSWParameters.cs:7-56 (defaults identical)."""
+
+    #: Max outgoing edges per node per layer (``M``).  Layer 0 allows 2*M.
+    #: (HNSWParameters.cs:13; layer-0 doubling at GraphData.cs:247-250.)
+    max_edges: int = 16
+
+    #: Rate for the exponential level distribution (``mL``);
+    #: level = floor(-ln(U) * distribution_rate).  (HNSWParameters.cs:19,
+    #: GraphData.cs:211-219.)
+    distribution_rate: float = 1.0 / math.log(16)
+
+    #: Floor on the internal search width (``efSearch`` = max(min_nn, k)).
+    #: (HNSWParameters.cs:25, HNSWIndex.cs:115.)
+    min_nn: int = 5
+
+    #: Beam width during construction (``efConstruction``).
+    #: (HNSWParameters.cs:31.)
+    max_candidates: int = 100
+
+    #: Beam width for the repair search during removals.
+    #: (HNSWParameters.cs:37.)
+    remove_max_candidates: int = 100
+
+    #: Expected number of elements; initial capacity.  The index grows by
+    #: doubling, like the reference (GraphData.cs:98-111).
+    collection_size: int = 65536
+
+    #: RNG seed for level sampling; negative means unseeded.
+    #: (HNSWParameters.cs:49, GraphData.cs:42.)
+    random_seed: int = 31337
+
+    #: Whether removals are permitted (HNSWParameters.cs:55).  Unlike the
+    #: reference, the TPU build keeps no in-edge tables (in-neighbors are
+    #: recovered by a vectorized scan of the out-edge table), so disabling
+    #: removals changes no data layout — only the API contract
+    #: (HNSWIndex.cs:85-86 throws when disabled; we match).
+    allow_removals: bool = True
+
+    # ---- TPU-build-only knobs -------------------------------------------
+    #: Max number of inserts batched into a single device wave.
+    max_wave_size: int = 512
+
+    #: Beam-search iteration bound = search_iter_factor * ef + 16.
+    search_iter_factor: int = 8
+
+    def validate(self) -> None:
+        if self.max_edges < 1:
+            raise ValueError("max_edges must be >= 1")
+        if self.max_candidates < 1:
+            raise ValueError("max_candidates must be >= 1")
+        if self.min_nn < 1:
+            raise ValueError("min_nn must be >= 1")
+        if self.collection_size < 1:
+            raise ValueError("collection_size must be >= 1")
+        if self.distribution_rate < 0:
+            raise ValueError("distribution_rate must be >= 0")

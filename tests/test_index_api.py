@@ -1,0 +1,160 @@
+"""End-to-end `Index` API tests mirroring the reference Python suite
+(bindings/__tests__/recall_test.py, parameters_test.py) at reduced scale
+for CPU test time; the full-scale configs run in bench.py on TPU."""
+
+import numpy as np
+import pytest
+
+from hnswindex_tpu import Index
+
+DIM = 64
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(65537)
+    return rng.random((N, DIM), dtype=np.float32)
+
+
+def self_recall(index, vectors, ids):
+    result_ids = index.knn_query(vectors, 1)[0][:, 0]
+    return (ids == result_ids).sum() / len(ids)
+
+
+def test_default_recall(corpus):
+    # recall_test.py:7-15 (bar: > 0.85)
+    index = Index(DIM)
+    index.set_collection_size(N)
+    ids = index.add(corpus)
+    assert ids.dtype == np.int32
+    assert len(ids) == N
+    assert self_recall(index, corpus, ids) > 0.85
+
+
+def test_knn_shapes_and_padding(corpus):
+    index = Index(DIM)
+    index.set_collection_size(16)
+    index.add(corpus[:4])
+    ids, dists = index.knn_query(corpus[:3], k=8)
+    assert ids.shape == (3, 8) and dists.shape == (3, 8)
+    assert ids.dtype == np.int32 and dists.dtype == np.float32
+    # only 4 items exist -> tail padded with -1 / NaN
+    # (HNSWIndexExports.cs:144 semantics)
+    assert np.all(ids[:, 4:] == -1)
+    assert np.all(np.isnan(dists[:, 4:]))
+    assert np.all(np.diff(dists[:, :4], axis=1) >= 0)
+
+
+def test_metric_distances_vs_oracle(corpus):
+    # metric_test.py pattern: returned distance to 2nd neighbor vs numpy
+    for metric in ("sq_euclid", "cosine", "ucosine"):
+        vecs = corpus[:300].copy()
+        if metric == "ucosine":
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        index = Index(DIM, metric=metric)
+        index.set_collection_size(300)
+        ids = index.add(vecs)
+        by_id = {int(i): vecs[j] for j, i in enumerate(ids)}
+        res_ids, dists = index.knn_query(vecs, k=2)
+        for i in range(0, 300, 17):
+            other = by_id[int(res_ids[i, 1])]
+            x = vecs[i].astype(np.float64)
+            y = other.astype(np.float64)
+            if metric == "sq_euclid":
+                want = float(np.dot(x - y, x - y))
+            else:
+                cos = np.dot(x, y) / (np.linalg.norm(x) * np.linalg.norm(y))
+                want = 1.0 - float(np.clip(cos, -1, 1))
+            assert np.isclose(dists[i, 1], want, rtol=0, atol=1e-5)
+
+
+def test_min_nn_lowers_recall(corpus):
+    # parameters_test.py:7-21
+    index = Index(DIM)
+    index.set_collection_size(N)
+    ids = index.add(corpus)
+    default_recall = self_recall(index, corpus, ids)
+
+    index2 = Index(DIM)
+    index2.set_collection_size(N)
+    index2.set_min_nn(1)
+    ids2 = index2.add(corpus)
+    recall2 = self_recall(index2, corpus, ids2)
+    assert recall2 < default_recall
+
+
+def test_low_connectivity(corpus):
+    # parameters_test.py:24-33 (max_edges=1 -> recall < 0.1)
+    index = Index(DIM)
+    index.set_collection_size(N)
+    index.set_max_edges(1)
+    ids = index.add(corpus)
+    assert self_recall(index, corpus, ids) < 0.1
+
+
+def test_low_candidates(corpus):
+    # parameters_test.py:36-45 (max_candidates=1 -> recall < 0.6)
+    index = Index(DIM)
+    index.set_collection_size(N)
+    index.set_max_candidates(1)
+    ids = index.add(corpus)
+    assert self_recall(index, corpus, ids) < 0.6
+
+
+def test_disabled_removals_recall_and_raise(corpus):
+    # parameters_test.py:48-57 + ParametersTests.cs:73-87
+    index = Index(DIM)
+    index.set_collection_size(N)
+    index.set_allow_removals(False)
+    ids = index.add(corpus)
+    assert self_recall(index, corpus, ids) > 0.85
+    with pytest.raises(RuntimeError):
+        index.remove(ids[:10])
+
+
+def test_random_seed_determinism(corpus):
+    # parameters_test.py:60-81: same seed + same insert order -> identical
+    vecs = corpus[:400]
+
+    def build():
+        index = Index(DIM)
+        index.set_collection_size(400)
+        index.set_random_seed(1337)
+        ids = index.add(vecs)
+        rid = index.knn_query(vecs, 1)[0][:, 0]
+        return ids, rid
+
+    ids1, rid1 = build()
+    ids2, rid2 = build()
+    assert np.array_equal(ids1, ids2)
+    assert np.array_equal(rid1, rid2)
+
+
+def test_setters_after_init_raise(corpus):
+    index = Index(DIM)
+    index.add(corpus[:2])
+    for setter, val in [(index.set_collection_size, 10),
+                        (index.set_max_edges, 4),
+                        (index.set_min_nn, 2),
+                        (index.set_random_seed, 1),
+                        (index.set_allow_removals, False)]:
+        with pytest.raises(RuntimeError):
+            setter(val)
+
+
+def test_resize(corpus):
+    # recall_test.py:37-46: capacity growth through inserts
+    index = Index(DIM)
+    index.set_collection_size(10)
+    ids = index.add(corpus)
+    assert index.count == N
+    assert self_recall(index, corpus, ids) > 0.85
+
+
+def test_input_validation(corpus):
+    index = Index(DIM)
+    with pytest.raises(ValueError):
+        index.add(np.zeros((3, DIM + 1), np.float32))
+    with pytest.raises(ValueError):
+        Index(DIM, metric="bogus")

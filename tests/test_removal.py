@@ -1,0 +1,88 @@
+"""Removal + repair tests, mirroring recall_test.py:18-34 and
+GraphResizeTests.cs:67-125 at reduced scale."""
+
+import numpy as np
+import pytest
+
+from hnswindex_tpu import Index
+
+DIM = 48
+N = 800
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(97)
+    vecs = rng.random((N, DIM), dtype=np.float32)
+    index = Index(DIM)
+    index.set_collection_size(N)
+    ids = index.add(vecs)
+    return index, vecs, ids
+
+
+def test_removal_keeps_recall(built):
+    index, vecs, ids = built
+    rid = index.knn_query(vecs, 1)[0][:, 0]
+    add_recall = (ids == rid).sum() / len(ids)
+
+    remove_ids = ids[:N // 2]
+    remain_ids = ids[N // 2:]
+    remain_vecs = vecs[N // 2:]
+    index.remove(remove_ids)
+
+    assert index.count == N - N // 2
+    rid2 = index.knn_query(remain_vecs, 1)[0][:, 0]
+    remove_recall = (remain_ids == rid2).sum() / len(remain_ids)
+    # recall_test.py:34 allows 0.02 absolute drift
+    assert abs(remove_recall - add_recall) < 0.05, (add_recall,
+                                                    remove_recall)
+    # removed ids never appear in results
+    k10 = index.knn_query(remain_vecs[:100], 10)[0]
+    assert not np.isin(k10[k10 >= 0], remove_ids).any()
+
+
+def test_removed_slots_are_reused(built):
+    index, vecs, ids = built
+    rng = np.random.default_rng(3)
+    fresh = rng.random((50, DIM), dtype=np.float32)
+    before = index.count
+    new_ids = index.add(fresh)
+    assert index.count == before + 50
+    # freed slots get recycled (GraphData.cs:85-91)
+    assert np.isin(new_ids, ids[:N // 2]).all()
+    # new items are searchable
+    rid = index.knn_query(fresh, 1)[0][:, 0]
+    assert (rid == new_ids).mean() > 0.85
+
+
+def test_remove_everything():
+    rng = np.random.default_rng(5)
+    vecs = rng.random((120, DIM), dtype=np.float32)
+    index = Index(DIM)
+    index.set_collection_size(128)
+    ids = index.add(vecs)
+    index.remove(ids)
+    assert index.count == 0
+    assert index.ids().size == 0
+    rids, dists = index.knn_query(vecs[:4], 3)
+    assert np.all(rids == -1)
+    # index remains usable after total removal
+    ids2 = index.add(vecs[:60])
+    rid = index.knn_query(vecs[:60], 1)[0][:, 0]
+    assert (rid == ids2).mean() > 0.85
+
+
+def test_remove_entry_point():
+    rng = np.random.default_rng(9)
+    vecs = rng.random((200, DIM), dtype=np.float32)
+    index = Index(DIM)
+    index.set_collection_size(256)
+    ids = index.add(vecs)
+    impl = index._impl
+    ep = int(impl._state.ep)
+    index.remove([ep])
+    assert index.count == 199
+    assert int(impl._state.ep) != ep
+    rid = index.knn_query(vecs, 1)[0][:, 0]
+    mask = ids != ep
+    assert (rid[mask] == ids[mask]).mean() > 0.85
