@@ -49,11 +49,13 @@ def main():
     # query throughput (compiled, steady-state)
     cfg = idx._cfg
     ef = max(params.min_nn, k)
-    max_iters = cfg.search_iter_factor * ef + 16
+    expand = max(1, params.query_expand)
+    max_iters = (cfg.search_iter_factor * ef) // expand + 16
     queries = jnp.asarray(vecs[:q_batch])
 
     def run(qs):
-        return knn_search(cfg, idx._state, qs, 0, ef, max_iters)
+        return knn_search(cfg, idx._state, qs, 0, ef, max_iters,
+                          expand=expand)
 
     d, i = run(queries)
     jax.block_until_ready(i)  # warm-up / compile

@@ -116,13 +116,21 @@ class Index:
             return
         self._impl.remove(arr)
 
-    def knn_query(self, queries, k: int
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-        return self._impl.knn_query(queries, k)
+    def knn_query(self, queries, k: int, filter_fnc=None, layer: int = 0,
+                  exact: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+        return self._impl.knn_query(queries, k, filter_fnc=filter_fnc,
+                                    layer=layer, exact=exact)
 
-    def range_query(self, queries, radius: float
+    def range_query(self, queries, radius: float, filter_fnc=None,
+                    layer: int = 0
                     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-        return self._impl.range_query(queries, radius)
+        return self._impl.range_query(queries, radius,
+                                      filter_fnc=filter_fnc, layer=layer)
+
+    def multi_layer_knn_query(self, query, k: int, max_layer: int = 2 ** 30,
+                              min_layer: int = 0):
+        return self._impl.multi_layer_knn_query(query, k, max_layer,
+                                                min_layer)
 
     # -- extended API (beyond the reference's C ABI) --------------------
 

@@ -169,10 +169,11 @@ def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
     C = state.capacity
     K = state.nbr.shape[2]
     efc = cfg.ef_construction
-    max_iters = cfg.search_iter_factor * efc + 16
+    p = cfg.build_expand
+    max_iters = (cfg.search_iter_factor * efc) // p + 16
 
     cd, ci = beam_search(cfg, state, vecs, qn, entry, conn, layer, efc,
-                         max_iters)
+                         max_iters, expand=p)
     cic = jnp.clip(ci, 0, C - 1)
     cvecs = state.vectors[cic]
     cnorms = state.norms[cic]
@@ -196,7 +197,7 @@ def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
     return nbr, deg, entry
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def insert_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls, valid):
     """Insert a wave of items (see module docstring).
 

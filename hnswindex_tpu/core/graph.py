@@ -55,6 +55,7 @@ class GraphConfig:
     max_levels: int = 8        # L: static level-table height
     ef_construction: int = 100
     search_iter_factor: int = 8
+    build_expand: int = 8      # beam nodes expanded per construction step
 
     @property
     def table_width(self) -> int:

@@ -50,7 +50,7 @@ def _removed_mask(state: GraphState, rem_ids):
         jnp.where(rem_ids >= 0, rem_ids, C)].set(True)[:C]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def mark_removed(cfg: GraphConfig, state: GraphState, rem_ids):
     """Deactivate a removal wave and fix the entry point / count.
 
@@ -103,7 +103,8 @@ def affected_mask(cfg: GraphConfig, state: GraphState, rem_ids, layer):
     return jnp.any(hit, axis=1) & state.active
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_deg", "remove_ef"))
+@partial(jax.jit, static_argnames=("cfg", "max_deg", "remove_ef"),
+         donate_argnames=("state",))
 def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
                  scand, layer, max_deg: int, remove_ef: int):
     """Re-select edges for a chunk of affected nodes at ``layer``.
@@ -155,7 +156,7 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
     return state._replace(nbr=nbr, deg=deg)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def clear_removed_rows(cfg: GraphConfig, state: GraphState, rem_ids, layer):
     """Erase the removed nodes' own out-edges at ``layer`` (the reference's
     DetachOutgoingReferences + final node teardown,

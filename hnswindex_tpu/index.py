@@ -42,7 +42,12 @@ from .params import HNSWParameters
 
 WAVE_BUCKETS = (1, 8, 64, 512)
 QUERY_BUCKETS = (1, 16, 128, 1024)
-REMOVE_BUCKETS = (1, 16, 128, 1024)
+# Removal waves stay small: each affected node is repaired with candidates
+# from (one of) its removed neighbors, so large waves degrade repair
+# quality for nodes that lost many edges at once.  64 keeps the expected
+# removed-neighbor count per affected node near 1 (the reference repairs
+# strictly one removal at a time, GraphConnector.cs:53-66).
+REMOVE_BUCKETS = (1, 16, 64)
 AFFECTED_CHUNK = 256
 
 
@@ -86,7 +91,8 @@ class HNSWIndex:
         self._cfg = G.GraphConfig(
             dim=self.dim, metric=metric, max_edges=p.max_edges,
             max_levels=max_levels, ef_construction=p.max_candidates,
-            search_iter_factor=p.search_iter_factor)
+            search_iter_factor=p.search_iter_factor,
+            build_expand=p.build_expand)
         self._state = G.empty_state(self._cfg, capacity)
         seed = p.random_seed if p.random_seed >= 0 else None
         self._rng = np.random.default_rng(seed)
@@ -260,17 +266,25 @@ class HNSWIndex:
         return out_ids.astype(np.int32), out_d
 
     def knn_query(self, queries, k: int,
-                  filter_fnc=None, layer: int = 0
+                  filter_fnc=None, layer: int = 0, exact: bool = False
                   ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched k-NN (HNSWIndex.cs:107-137).  Returns
-        (ids (n, k) int32, dists (n, k) float32), -1/NaN padded."""
+        (ids (n, k) int32, dists (n, k) float32), -1/NaN padded.
+
+        ``exact=True`` switches to the blocked MXU brute-force scorer
+        (ops/bruteforce.py): recall 1.0, and on TPU faster than graph
+        traversal below ~10M vectors — an option the CPU reference could
+        never offer."""
         q = _as_2d_f32(queries, self.dim)
         n = q.shape[0]
         if int(self._state.count) <= 0 or k < 1:
             return (np.full((n, k), -1, np.int32),
                     np.full((n, k), np.nan, np.float32))
+        if exact:
+            return self._exact_query(q, k, filter_fnc, layer)
         ef = max(self.params.min_nn, k)          # HNSWIndex.cs:115
-        max_iters = self._cfg.search_iter_factor * ef + 16
+        expand = max(1, self.params.query_expand)
+        max_iters = (self._cfg.search_iter_factor * ef) // expand + 16
         fmask = self._build_filter_mask(filter_fnc)
 
         out_ids = np.empty((n, k), np.int32)
@@ -284,10 +298,37 @@ class HNSWIndex:
             _, ids = knn_search(
                 self._cfg, self._state, jnp.asarray(qpad),
                 jnp.asarray(layer, jnp.int32), ef, max_iters,
-                filtered=fmask is not None, filter_mask=fmask)
+                filtered=fmask is not None, filter_mask=fmask,
+                expand=expand)
             ids_np = np.asarray(ids)[:w]
             out_ids[i:i + w], out_d[i:i + w] = self._refine(
                 q[i:i + w], ids_np, k)
+            i += w
+        return out_ids, out_d
+
+    def _exact_query(self, q: np.ndarray, k: int, filter_fnc, layer: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        from .ops.bruteforce import exact_knn
+        n = q.shape[0]
+        allowed = self._state.active
+        if layer > 0:
+            allowed = allowed & (self._state.level >= layer)
+        fmask = self._build_filter_mask(filter_fnc)
+        if fmask is not None:
+            allowed = allowed & fmask
+        out_ids = np.empty((n, k), np.int32)
+        out_d = np.empty((n, k), np.float32)
+        i = 0
+        while i < n:
+            w = min(QUERY_BUCKETS[-1], n - i)
+            b = _bucket(w, QUERY_BUCKETS)
+            qpad = np.zeros((b, self.dim), np.float32)
+            qpad[:w] = q[i:i + w]
+            _, ids = exact_knn(self.metric, self._state.vectors,
+                               self._state.norms, allowed,
+                               jnp.asarray(qpad), k)
+            out_ids[i:i + w], out_d[i:i + w] = self._refine(
+                q[i:i + w], np.asarray(ids)[:w], k)
             i += w
         return out_ids, out_d
 
@@ -424,7 +465,8 @@ class HNSWIndex:
             dim=idx.dim, metric=idx.metric, max_edges=params.max_edges,
             max_levels=header["max_levels"],
             ef_construction=params.max_candidates,
-            search_iter_factor=params.search_iter_factor)
+            search_iter_factor=params.search_iter_factor,
+            build_expand=params.build_expand)
         idx._state = state
         seed = params.random_seed if params.random_seed >= 0 else None
         idx._rng = np.random.default_rng(seed)

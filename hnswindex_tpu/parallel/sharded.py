@@ -80,7 +80,8 @@ class ShardedIndex:
         self._cfg = G.GraphConfig(
             dim=self.dim, metric=metric, max_edges=p.max_edges,
             max_levels=max_levels, ef_construction=p.max_candidates,
-            search_iter_factor=p.search_iter_factor)
+            search_iter_factor=p.search_iter_factor,
+            build_expand=p.build_expand)
 
         state0 = G.empty_state(self._cfg, local_cap)
         shspec = jax.tree.map(
@@ -155,8 +156,12 @@ class ShardedIndex:
             self._seeded[s] = True
             shard_of[j] = -1  # consumed
 
-        # per-shard wave queues
+        # per-shard wave queues with the same doubling schedule as the
+        # single-chip index: a shard holding b nodes accepts at most b new
+        # items per wave, so early waves stay small and graph quality holds.
         queues = [list(np.flatnonzero(shard_of == s)) for s in range(S)]
+        built = np.array([max(1, self._lengths[s] - len(queues[s]))
+                          for s in range(S)], dtype=np.int64)
         Wmax = max(1, self.params.max_wave_size // S)
         wave_fn = self._wave_fn(Wmax)
         while any(queues):
@@ -165,7 +170,9 @@ class ShardedIndex:
             lvl_w = np.zeros((S, Wmax), np.int32)
             val_w = np.zeros((S, Wmax), bool)
             for s in range(S):
-                take, queues[s] = queues[s][:Wmax], queues[s][Wmax:]
+                w = int(min(Wmax, built[s], len(queues[s])))
+                take, queues[s] = queues[s][:w], queues[s][w:]
+                built[s] += len(take)
                 for t, j in enumerate(take):
                     ids_w[s, t] = slots[j]
                     vec_w[s, t] = a[j]
@@ -182,9 +189,12 @@ class ShardedIndex:
         cfg = self._cfg
         C = self.shard_capacity
 
+        expand = max(1, self.params.query_expand)
+
         def run(st, q):
             local = _squeeze(st)
-            d, i = knn_search(cfg, local, q, 0, ef, max_iters)
+            d, i = knn_search(cfg, local, q, 0, ef, max_iters,
+                              expand=expand)
             base = lax.axis_index("shard").astype(jnp.int32) * C
             gi = jnp.where(i >= 0, i + base, -1)
             return d[None], gi[None]
@@ -210,7 +220,8 @@ class ShardedIndex:
         if q.ndim == 1:
             q = q[None]
         ef = max(self.params.min_nn, k)
-        max_iters = self._cfg.search_iter_factor * ef + 16
+        max_iters = (self._cfg.search_iter_factor * ef) \
+            // max(1, self.params.query_expand) + 16
         fn = self._query_fn(ef, max_iters)
         d, i = fn(self._state, jnp.asarray(q))
         d = np.asarray(d)[:, :k]

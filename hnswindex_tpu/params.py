@@ -69,6 +69,14 @@ class HNSWParameters:
     #: Beam-search iteration bound = search_iter_factor * ef + 16.
     search_iter_factor: int = 8
 
+    #: Beam nodes expanded per search step at query time (1 = exact
+    #: reference frontier semantics; >1 trades a little extra distance work
+    #: for far fewer sequential device steps).
+    query_expand: int = 4
+
+    #: Beam nodes expanded per search step during construction waves.
+    build_expand: int = 8
+
     def validate(self) -> None:
         if self.max_edges < 1:
             raise ValueError("max_edges must be >= 1")

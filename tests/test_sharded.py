@@ -37,7 +37,7 @@ def test_sharded_matches_brute_force_topk():
     rng = np.random.default_rng(3)
     vecs = rng.random((200, DIM), dtype=np.float32)
     p = HNSWParameters(collection_size=256, max_candidates=200,
-                       max_wave_size=64)
+                       max_wave_size=64, min_nn=64)  # wide beam ef=64
     idx = ShardedIndex(DIM, parameters=p, devices=devices)
     gids = idx.add(vecs)
 
