@@ -147,7 +147,7 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     w_ok = (jnp.arange(A)[None, :] < jnp.minimum(gcnt, A)[:, None]) \
         & over_row[:, None]
     cand = jnp.concatenate([ex, jnp.where(w_ok, wu, -1)], axis=1)  # (P, K+A)
-    sel2, cnt2 = _prune_rows(cfg, state.vectors, state.norms, sv, cand,
+    sel2, cnt2 = _prune_rows(cfg, state.vlo, state.norms, sv, cand,
                              over_row, max_deg)
     sel2pad = jnp.full((P, K), -1, jnp.int32).at[:, :max_deg].set(sel2)
     rowd = jnp.where(over_row, sv, C)
@@ -159,23 +159,16 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     return nbr, deg
 
 
-def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
-                      qn, entry, conn, max_deg: int):
-    """One layer of the insert path (ConnectAtLayer,
-    GraphConnector.cs:187-217): beam search, heuristic prune, forward-edge
-    row write, back edges + overflow prune.  Returns updated
-    (nbr, deg, entry)."""
+def _apply_connections(cfg: GraphConfig, state: GraphState, layer, ids,
+                       cd, ci, conn, max_deg: int):
+    """Candidate-agnostic half of ConnectAtLayer: heuristic prune,
+    forward-edge row write, back edges + overflow prune
+    (GraphConnector.cs:190-214).  Returns (nbr, deg, sel)."""
     W = ids.shape[0]
     C = state.capacity
     K = state.nbr.shape[2]
-    efc = cfg.ef_construction
-    p = cfg.build_expand
-    max_iters = (cfg.search_iter_factor * efc) // p + 16
-
-    cd, ci = beam_search(cfg, state, vecs, qn, entry, conn, layer, efc,
-                         max_iters, expand=p)
     cic = jnp.clip(ci, 0, C - 1)
-    cvecs = state.vectors[cic]
+    cvecs = state.vlo[cic]
     cnorms = state.norms[cic]
     sel, cnt = heuristic.prune(cfg.metric, jnp.where(conn[:, None], ci, -1),
                                cd, cvecs, cnorms, max_deg)
@@ -186,15 +179,181 @@ def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
         selpad, mode="drop")
     deg = state.deg.at[jnp.asarray(layer, jnp.int32), rowsafe].set(
         cnt, mode="drop")
+    nbr, deg = _add_reverse(cfg, state._replace(nbr=nbr, deg=deg), layer,
+                            ids, sel, conn, max_deg)
+    return nbr, deg, sel
 
+
+def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
+                      qn, entry, conn, max_deg: int):
+    """One layer of the insert path (ConnectAtLayer,
+    GraphConnector.cs:187-217): beam search + _apply_connections.
+    Returns updated (nbr, deg, entry)."""
+    efc = cfg.ef_construction
+    p = cfg.build_expand
+    max_iters = (cfg.search_iter_factor * efc) // p + 16
+
+    cd, ci = beam_search(cfg, state, vecs, qn, entry, conn, layer, efc,
+                         max_iters, expand=p)
+    nbr, deg, sel = _apply_connections(cfg, state, layer, ids, cd, ci, conn,
+                                       max_deg)
     # Chain the closest accepted neighbor as the next layer's entry point
     # (GraphConnector.cs:216 returns bestNeighborsIds[0]).
     nxt = sel[:, 0]
     entry = jnp.where(conn & (nxt >= 0), nxt, entry)
-
-    nbr, deg = _add_reverse(cfg, state._replace(nbr=nbr, deg=deg), layer,
-                            ids, sel, conn, max_deg)
     return nbr, deg, entry
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def scatter_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls,
+                 valid):
+    """Phase 1: store a wave's vectors/levels/active bits
+    (GraphData.AddItem's storage half, GraphData.cs:79-117)."""
+    C = state.capacity
+    ids = ids.astype(jnp.int32)
+    vn = dst.norm_data(cfg.metric, vecs)
+    rowsafe = jnp.where(valid, ids, C)
+    return state._replace(
+        vectors=state.vectors.at[rowsafe].set(vecs, mode="drop"),
+        vlo=state.vlo.at[rowsafe].set(vecs.astype(state.vlo.dtype),
+                                      mode="drop"),
+        norms=state.norms.at[rowsafe].set(vn, mode="drop"),
+        level=state.level.at[rowsafe].set(lvls.astype(jnp.int32),
+                                          mode="drop"),
+        active=state.active.at[rowsafe].set(True, mode="drop"),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def upper_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid):
+    """Phase 2: connect wave members with level >= 1 at layers L-1..1.
+
+    Runs at a narrow lane width: only ~1/M of inserts live above layer 0
+    (exponential level law, GraphData.cs:211-219), but a full-width
+    layer loop would pay whole-wave beam gathers at every layer.  The host
+    compacts the upper items into a small bucket before calling.
+
+    Returns (state, entry0, has_entry): the chained entry point each upper
+    item should start its layer-0 search from (AddNewConnections' descent,
+    GraphConnector.cs:172-181)."""
+    Wu = ids.shape[0]
+    C = state.capacity
+    L = state.num_levels
+    ids = ids.astype(jnp.int32)
+    lvls = lvls.astype(jnp.int32)
+    vecs = state.vectors[jnp.clip(ids, 0, C - 1)]
+    vn = state.norms[jnp.clip(ids, 0, C - 1)]
+
+    ep0 = state.ep
+    has_graph = ep0 >= 0
+    old_top = jnp.where(has_graph, state.level[jnp.clip(ep0, 0, C - 1)], -1)
+    conn_top = jnp.minimum(lvls, old_top)
+
+    ep_b = jnp.broadcast_to(jnp.where(has_graph, ep0, -1), (Wu,))
+    entry, _ = greedy_descent(cfg, state, vecs, vn, ep_b,
+                              jnp.broadcast_to(old_top, (Wu,)), conn_top)
+
+    def upper_body(i, carry):
+        nbr, deg, entry = carry
+        layer = (L - 1) - i
+        conn = valid & has_graph & (layer <= conn_top) & (lvls >= layer)
+        st = state._replace(nbr=nbr, deg=deg)
+        return _connect_at_layer(cfg, st, layer, ids, vecs, vn, entry, conn,
+                                 cfg.max_edges)
+
+    nbr, deg, entry = lax.fori_loop(
+        0, L - 1, upper_body, (state.nbr, state.deg, entry))
+    return state._replace(nbr=nbr, deg=deg), entry
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def base_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid,
+                 up_lanes, up_entry):
+    """Phase 3: layer-0 connections for the whole wave + entry-point
+    promotion + count update.
+
+    ``up_lanes (Wu,)`` / ``up_entry (Wu,)`` carry the chained entries of
+    upper items from phase 2 (device-side, no host round-trip); everyone
+    else greedy-descends from the global entry point (FindEntryPoint,
+    GraphNavigator.cs:27)."""
+    W = ids.shape[0]
+    C = state.capacity
+    ids = ids.astype(jnp.int32)
+    lvls = lvls.astype(jnp.int32)
+    entry_hint = jnp.full((W,), -1, jnp.int32).at[
+        jnp.where(up_lanes >= 0, up_lanes, W)].set(
+            up_entry.astype(jnp.int32), mode="drop")
+    hint_ok = entry_hint >= 0
+    vecs = state.vectors[jnp.clip(ids, 0, C - 1)]
+    vn = state.norms[jnp.clip(ids, 0, C - 1)]
+
+    ep0 = state.ep
+    has_graph = ep0 >= 0
+    old_top = jnp.where(has_graph, state.level[jnp.clip(ep0, 0, C - 1)], -1)
+
+    ep_b = jnp.broadcast_to(jnp.where(has_graph, ep0, -1), (W,))
+    start = jnp.where(hint_ok, entry_hint, ep_b)
+    start_layer = jnp.where(hint_ok, 0, jnp.broadcast_to(old_top, (W,)))
+    entry, _ = greedy_descent(cfg, state, vecs, vn, start, start_layer,
+                              jnp.zeros((W,), jnp.int32))
+    # The descent runs after this wave's upper-layer edges were written, so
+    # it can land on a *wave member* — which has no layer-0 edges yet and
+    # would dead-end the beam.  Any zero-out-degree entry falls back to the
+    # pre-wave global entry point.
+    deg0 = state.deg[0]
+    entry_ok = deg0[jnp.clip(entry, 0, C - 1)] > 0
+    entry = jnp.where(entry_ok, entry, ep_b)
+
+    conn0 = valid & has_graph
+    nbr, deg, _ = _connect_at_layer(cfg, state, 0, ids, vecs, vn, entry,
+                                    conn0, 2 * cfg.max_edges)
+
+    lv_eff = jnp.where(valid, lvls, -2)
+    best_i = jnp.argmax(lv_eff)
+    best_lvl = lv_eff[best_i]
+    new_ep = jnp.where(best_lvl > old_top, ids[best_i], ep0).astype(jnp.int32)
+    return state._replace(
+        nbr=nbr, deg=deg, ep=new_ep,
+        count=state.count + jnp.sum(valid, dtype=jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
+                       valid):
+    """Phase 3 (exact variant): layer-0 connections from *exact* MXU
+    brute-force candidates instead of beam search.
+
+    One blocked matmul of the wave against the whole corpus replaces
+    hundreds of bandwidth-bound neighbor gathers; candidates are the true
+    efConstruction nearest neighbors, so graph quality dominates the beam
+    path.  Used while the corpus is below the host's exact-build threshold
+    (construction cost is O(C) per wave, so this is the fast path up to a
+    few hundred thousand vectors; the beam path takes over beyond)."""
+    from ..ops.bruteforce import exact_knn
+
+    W = ids.shape[0]
+    C = state.capacity
+    ids = ids.astype(jnp.int32)
+    lvls = lvls.astype(jnp.int32)
+    vecs = state.vectors[jnp.clip(ids, 0, C - 1)]
+
+    ep0 = state.ep
+    has_graph = ep0 >= 0
+    old_top = jnp.where(has_graph, state.level[jnp.clip(ep0, 0, C - 1)], -1)
+
+    cd, ci = exact_knn(cfg.metric, state.vlo, state.norms, state.active,
+                       vecs, cfg.ef_construction, exclude=ids)
+    conn0 = valid & has_graph
+    nbr, deg, _ = _apply_connections(cfg, state, 0, ids, cd, ci, conn0,
+                                     2 * cfg.max_edges)
+
+    lv_eff = jnp.where(valid, lvls, -2)
+    best_i = jnp.argmax(lv_eff)
+    best_lvl = lv_eff[best_i]
+    new_ep = jnp.where(best_lvl > old_top, ids[best_i], ep0).astype(jnp.int32)
+    return state._replace(
+        nbr=nbr, deg=deg, ep=new_ep,
+        count=state.count + jnp.sum(valid, dtype=jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -215,6 +374,8 @@ def insert_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls, valid):
     rowsafe = jnp.where(valid, ids, C)
     state = state._replace(
         vectors=state.vectors.at[rowsafe].set(vecs, mode="drop"),
+        vlo=state.vlo.at[rowsafe].set(vecs.astype(state.vlo.dtype),
+                                      mode="drop"),
         norms=state.norms.at[rowsafe].set(vn, mode="drop"),
         level=state.level.at[rowsafe].set(lvls, mode="drop"),
         active=state.active.at[rowsafe].set(True, mode="drop"),

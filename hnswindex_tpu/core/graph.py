@@ -56,6 +56,12 @@ class GraphConfig:
     ef_construction: int = 100
     search_iter_factor: int = 8
     build_expand: int = 8      # beam nodes expanded per construction step
+    #: dtype of the *ranking* vector table used by graph traversal.
+    #: "bfloat16" halves gather bandwidth and uses the MXU's native input
+    #: type; distances that reach users are always refined in full
+    #: precision afterwards.  "float32" keeps traversal exact (CPU/test
+    #: default).
+    rank_dtype: str = "float32"
 
     @property
     def table_width(self) -> int:
@@ -70,7 +76,8 @@ class GraphConfig:
 class GraphState(NamedTuple):
     """Device-array pytree holding the whole index (see module docstring)."""
 
-    vectors: jnp.ndarray   # (C, D) f32
+    vectors: jnp.ndarray   # (C, D) f32 (exact store)
+    vlo: jnp.ndarray       # (C, D) ranking copy (f32 or bf16, cfg.rank_dtype)
     norms: jnp.ndarray     # (C,)   f32
     level: jnp.ndarray     # (C,)   i32
     nbr: jnp.ndarray       # (L, C, K) i32
@@ -102,6 +109,7 @@ def empty_state(cfg: GraphConfig, capacity: int) -> GraphState:
     C, D, L, K = capacity, cfg.dim, cfg.max_levels, cfg.table_width
     return GraphState(
         vectors=jnp.zeros((C, D), jnp.float32),
+        vlo=jnp.zeros((C, D), jnp.dtype(cfg.rank_dtype)),
         norms=jnp.zeros((C,), jnp.float32),
         level=jnp.full((C,), -1, jnp.int32),
         nbr=jnp.full((L, C, K), -1, jnp.int32),
@@ -122,6 +130,7 @@ def grow_state(state: GraphState, new_capacity: int) -> GraphState:
     pad = new_capacity - C
     return GraphState(
         vectors=jnp.pad(state.vectors, ((0, pad), (0, 0))),
+        vlo=jnp.pad(state.vlo, ((0, pad), (0, 0))),
         norms=jnp.pad(state.norms, (0, pad)),
         level=jnp.pad(state.level, (0, pad), constant_values=-1),
         nbr=jnp.pad(state.nbr, ((0, 0), (0, pad), (0, 0)),
@@ -153,6 +162,7 @@ def seed_first_node(cfg: GraphConfig, state: GraphState, slot: int,
     v = jnp.asarray(vec, jnp.float32)
     return state._replace(
         vectors=state.vectors.at[slot].set(v),
+        vlo=state.vlo.at[slot].set(v.astype(state.vlo.dtype)),
         norms=state.norms.at[slot].set(dst.norm_data(cfg.metric, v)),
         level=state.level.at[slot].set(jnp.int32(lvl)),
         active=state.active.at[slot].set(True),

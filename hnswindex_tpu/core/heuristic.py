@@ -58,25 +58,50 @@ def prune(metric: str,
 
     # Pairwise candidate-candidate distances (B, N, N) — one MXU batch op
     # replacing the reference's per-pair distanceFnc calls (Heuristic.cs:34).
+    lo = svecs.dtype == jnp.bfloat16
     dots = jnp.einsum("bid,bjd->bij", svecs, svecs,
-                      precision=dst.DOT_PRECISION,
+                      precision=None if lo else dst.DOT_PRECISION,
                       preferred_element_type=jnp.float32)
     pd = dst.from_dot(metric, dots, snorms[:, :, None], snorms[:, None, :])
 
     n_valid = jnp.sum(svalid, axis=1)
     keep_all = n_valid < max_edges  # Heuristic.cs:13-18
 
-    def step(carry, i):
-        accepted, count = carry
-        # would accepting candidate i violate the relative-neighbor rule?
-        viol = jnp.any(accepted & (pd[:, :, i] < sd[:, i][:, None]), axis=1)
-        ok = svalid[:, i] & (count < max_edges) & (keep_all | ~viol)
-        accepted = accepted.at[:, i].set(ok)
-        return (accepted, count + ok.astype(jnp.int32)), None
+    # The sequential accept loop (Heuristic.cs:23-41) is computed exactly by
+    # wavefront fixed-point: candidate c conflicts with earlier candidate s
+    # iff d(s, c) < d(c, target); each round decides every candidate whose
+    # earlier conflicts are all decided (reject if an accepted conflict
+    # exists, accept if none can).  The first undecided candidate is always
+    # decidable, so rounds <= conflict-chain depth — single-digit in
+    # practice vs N sequential steps.  The accept-count cap is applied
+    # afterwards by truncation, which matches the sequential break exactly
+    # (acceptance of c only depends on accepts before c).
+    tri = (jnp.arange(N)[:, None] < jnp.arange(N)[None, :])  # s earlier than c
+    conflict = tri[None, :, :] & (pd < sd[:, None, :]) \
+        & svalid[:, :, None] & svalid[:, None, :]            # (B, s, c)
 
-    accepted0 = jnp.zeros((B, N), bool)
-    (accepted, count), _ = lax.scan(step, (accepted0, jnp.zeros(B, jnp.int32)),
-                                    jnp.arange(N))
+    def cond(carry):
+        acc, rej, it = carry
+        und = svalid & ~acc & ~rej
+        return jnp.any(und) & (it < N)
+
+    def round_(carry):
+        acc, rej, it = carry
+        und = svalid & ~acc & ~rej
+        hit_acc = jnp.any(conflict & acc[:, :, None], axis=1)
+        blocked = jnp.any(conflict & (acc | und)[:, :, None], axis=1)
+        rej_new = und & hit_acc
+        acc_new = und & ~blocked
+        return acc | acc_new, rej | rej_new, it + 1
+
+    acc0 = jnp.zeros((B, N), bool)
+    accepted, _, _ = lax.while_loop(
+        cond, round_, (acc0, jnp.zeros((B, N), bool),
+                       jnp.asarray(0, jnp.int32)))
+    accepted = jnp.where(keep_all[:, None], svalid, accepted)
+    # cap at max_edges accepts (in ascending-distance order)
+    accepted = accepted & (jnp.cumsum(accepted, axis=1) <= max_edges)
+    count = jnp.sum(accepted, axis=1, dtype=jnp.int32)
 
     # Compact accepted ids (already in ascending-distance order) into the
     # first ``count`` output slots.

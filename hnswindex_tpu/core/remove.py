@@ -147,7 +147,7 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
 
     cand = jnp.concatenate([jnp.where(surviving, old, -1),
                             jnp.where(sr_valid, srow, -1)], axis=1)
-    sel, cnt = _prune_rows(cfg, state.vectors, state.norms, chunk_ids, cand,
+    sel, cnt = _prune_rows(cfg, state.vlo, state.norms, chunk_ids, cand,
                            ok, max_deg)
     selpad = jnp.full((B, K), -1, jnp.int32).at[:, :max_deg].set(sel)
     rowd = jnp.where(ok, chunk_ids, C)

@@ -46,12 +46,16 @@ _INF = jnp.inf
 
 
 def _dist_to_nodes(metric, q, qn, vectors, norms, ids):
-    """Distances from each query (B, D) to its own node id column(s)."""
+    """Distances from each query (B, D) to its own node id column(s).
+
+    ``vectors`` is the *ranking* table (f32 or bf16, GraphState.vlo)."""
     C = vectors.shape[0]
     idc = jnp.clip(ids, 0, C - 1)
+    lo = vectors.dtype == jnp.bfloat16
     if ids.ndim == 1:
-        dots = jnp.einsum("bd,bd->b", q, vectors[idc],
-                          precision=dst.DOT_PRECISION,
+        dots = jnp.einsum("bd,bd->b", q.astype(vectors.dtype),
+                          vectors[idc],
+                          precision=None if lo else dst.DOT_PRECISION,
                           preferred_element_type=jnp.float32)
         return dst.from_dot(metric, dots, qn, norms[idc])
     return dst.gathered(metric, q, qn, vectors[idc], norms[idc])
@@ -87,7 +91,7 @@ def greedy_descent(cfg: GraphConfig, state: GraphState,
     L = state.num_levels
     rows = jnp.arange(B)
 
-    curd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+    curd = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms,
                           start)
     init = _GreedyCarry(cur=start.astype(jnp.int32), curd=curd,
                         lay=start_layer.astype(jnp.int32),
@@ -105,7 +109,7 @@ def greedy_descent(cfg: GraphConfig, state: GraphState,
         curc = jnp.clip(c.cur, 0, C - 1)
         nb = state.nbr[layc, curc]                       # (B, K)
         nbv = (nb >= 0) & act[:, None]
-        nd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+        nd = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms,
                             jnp.where(nbv, nb, 0))
         nd = jnp.where(nbv, nd, _INF)
         best = jnp.argmin(nd, axis=1)
@@ -153,13 +157,26 @@ def _dedupe_new(nid, fresh, pool_ids):
     any per-query visited storage: a node displaced from the top-ef pool
     can only be re-proposed with a distance worse than the pool's worst, so
     the merge drops it again — no duplicate results, no re-expansions
-    (re-scans only cost a recomputed distance).  O(PK * (ef + PK)) VPU
-    compares, orders of magnitude cheaper than the visited scatter."""
-    PK = nid.shape[1]
+    (re-scans only cost a recomputed distance).
+
+    Pool membership is an O(PK * ef) compare; within-batch duplicates use
+    an O(PK^2) compare matrix for narrow expansions and an argsort-based
+    adjacent-equal pass for wide ones (the matrix is quadratic in the
+    expansion width)."""
+    B, PK = nid.shape
     in_pool = jnp.any(nid[:, :, None] == pool_ids[:, None, :], axis=2)
-    eq = nid[:, :, None] == nid[:, None, :]
-    earlier = jnp.arange(PK)[None, :, None] > jnp.arange(PK)[None, None, :]
-    dup_self = jnp.any(eq & earlier, axis=2)
+    if PK <= 128:
+        eq = nid[:, :, None] == nid[:, None, :]
+        earlier = (jnp.arange(PK)[None, :, None]
+                   > jnp.arange(PK)[None, None, :])
+        dup_self = jnp.any(eq & earlier, axis=2)
+    else:
+        order = jnp.argsort(nid, axis=1, stable=True)
+        snid = jnp.take_along_axis(nid, order, axis=1)
+        sdup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), snid[:, 1:] == snid[:, :-1]], axis=1)
+        dup_self = jnp.zeros_like(sdup).at[
+            jnp.arange(B)[:, None], order].set(sdup)
     return fresh & ~in_pool & ~dup_self
 
 
@@ -201,7 +218,7 @@ def beam_search(cfg: GraphConfig, state: GraphState,
     K = nbr_l.shape[1]
 
     epc = jnp.clip(ep, 0, C - 1)
-    d0 = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms, epc)
+    d0 = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms, epc)
     d0 = jnp.where(ep_ok, d0, _INF)
     ep_eff = jnp.where(ep_ok, ep, -1)
 
@@ -240,7 +257,7 @@ def beam_search(cfg: GraphConfig, state: GraphState,
         nbv = (nb >= 0) & jnp.repeat(has, K, axis=1)
         fresh = _dedupe_new(jnp.where(nbv, nb, -1), nbv, s.bi)
 
-        nd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+        nd = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms,
                             jnp.where(fresh, nb, 0))
         nd = jnp.where(fresh, nd, _INF)
         nid = jnp.where(fresh, nb, -1)
@@ -303,7 +320,7 @@ def range_search(cfg: GraphConfig, state: GraphState,
                                      axis=0, keepdims=False)
 
     epc = jnp.clip(ep, 0, C - 1)
-    d0 = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms, epc)
+    d0 = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms, epc)
     d0 = jnp.where(ep_ok, d0, _INF)
 
     # pool entries: in-range nodes (plus the entry node, which may be out of
@@ -330,7 +347,7 @@ def range_search(cfg: GraphConfig, state: GraphState,
         nbv = (nb >= 0) & has[:, None]
         fresh = _dedupe_new(jnp.where(nbv, nb, -1), nbv, s.bi)
 
-        nd = _dist_to_nodes(cfg.metric, q, qn, state.vectors, state.norms,
+        nd = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms,
                             jnp.where(fresh, nb, 0))
         keep = fresh & (nd <= radius)          # GraphNavigator.cs:303
         nd = jnp.where(keep, nd, _INF)

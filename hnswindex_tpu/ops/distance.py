@@ -89,9 +89,14 @@ def gathered(metric: str, q: jnp.ndarray, qn: jnp.ndarray,
     ``q (B, D)``, ``cvecs (B, K, D)`` -> ``(B, K)``.  This is the hot-path
     form used by every beam-search expansion step (replaces the per-edge
     scalar calls in GraphNavigator.cs:163,231).
-    """
-    dots = jnp.einsum("bkd,bd->bk", cvecs, q, precision=DOT_PRECISION,
-                      preferred_element_type=jnp.float32)
+
+    When the candidate table is bfloat16 (ranking mode) the MXU's native
+    bf16 x bf16 -> f32 path is used; f32 inputs get the full-precision
+    pass."""
+    lo = cvecs.dtype == jnp.bfloat16
+    prec = None if lo else DOT_PRECISION
+    dots = jnp.einsum("bkd,bd->bk", cvecs, q.astype(cvecs.dtype),
+                      precision=prec, preferred_element_type=jnp.float32)
     return from_dot(metric, dots, qn[:, None], cn)
 
 

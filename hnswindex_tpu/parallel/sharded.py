@@ -77,11 +77,13 @@ class ShardedIndex:
         local_cap = 1 << (local_cap - 1).bit_length()
         self.shard_capacity = local_cap
         max_levels = G.default_max_levels(local_cap, p.distribution_rate)
+        from ..index import resolve_rank_dtype
         self._cfg = G.GraphConfig(
             dim=self.dim, metric=metric, max_edges=p.max_edges,
             max_levels=max_levels, ef_construction=p.max_candidates,
             search_iter_factor=p.search_iter_factor,
-            build_expand=p.build_expand)
+            build_expand=p.build_expand,
+            rank_dtype=resolve_rank_dtype(p.rank_dtype))
 
         state0 = G.empty_state(self._cfg, local_cap)
         shspec = jax.tree.map(

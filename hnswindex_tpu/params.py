@@ -77,6 +77,19 @@ class HNSWParameters:
     #: Beam nodes expanded per search step during construction waves.
     build_expand: int = 8
 
+    #: Corpus-size ceiling for exact (MXU brute-force) candidate
+    #: generation during construction.  Below this, every wave's layer-0
+    #: candidates come from one blocked matmul over the corpus — faster
+    #: than graph beams on matmul hardware and exactly the true
+    #: efConstruction nearest neighbors.  Above it, wave beam search takes
+    #: over (O(log N) per insert).
+    exact_build_threshold: int = 1 << 18
+
+    #: Ranking-table dtype for graph traversal: "auto" (bfloat16 on TPU
+    #: backends, float32 elsewhere), "float32", or "bfloat16".  Returned
+    #: distances are always refined in full precision.
+    rank_dtype: str = "auto"
+
     def validate(self) -> None:
         if self.max_edges < 1:
             raise ValueError("max_edges must be >= 1")
