@@ -79,9 +79,24 @@ def main():
         np.asarray(i)
         return reps * q_batch / (time.perf_counter() - t0)
 
-    # ground truth for the query batch via the exact MXU scorer
-    gt = np.asarray(exact_knn(cfg.metric, state.vectors, state.norms,
-                              state.active, queries, k)[1])
+    # ground truth for the query batch: host float64 brute force at
+    # moderate sizes, device scorer beyond
+    if n <= 300000:
+        qh = vecs[:q_batch].astype(np.float64)
+        vh = vecs.astype(np.float64)
+        vn2 = (vh * vh).sum(1)
+        gt = np.empty((q_batch, k), np.int64)
+        for s0 in range(0, q_batch, 128):
+            qs_ = qh[s0:s0 + 128]
+            d = ((qs_ * qs_).sum(1)[:, None] + vn2[None, :]
+                 - 2.0 * qs_ @ vh.T)
+            part = np.argpartition(d, k, axis=1)[:, :k]
+            rows = np.arange(part.shape[0])[:, None]
+            ord_ = np.argsort(d[rows, part], axis=1)
+            gt[s0:s0 + 128] = part[rows, ord_]
+    else:
+        gt = np.asarray(exact_knn(cfg.metric, state.vectors, state.norms,
+                                  state.active, queries, k)[1])
 
     def recall_of(ids):
         return float(np.mean([
@@ -107,10 +122,14 @@ def main():
                          state.active, qs, k)
 
     exact_qps = throughput(exact_run)
-    log(f"exact: {exact_qps:.0f} q/s (recall 1.0)")
-    candidates.append((exact_qps, "exact", 1.0))
+    exact_rec = recall_of(np.asarray(exact_run(queries)[1])[:, :k])
+    log(f"exact: {exact_qps:.0f} q/s, recall@{k} {exact_rec:.4f}")
+    if exact_rec > 0.85:
+        candidates.append((exact_qps, "exact", exact_rec))
 
     # headline: fastest mode that clears the reference recall bar
+    if not candidates:
+        candidates = [(exact_qps, "exact", exact_rec)]
     qps, mode, recall = max(candidates)
     log(f"headline mode: {mode} (recall {recall:.3f})")
 

@@ -20,8 +20,9 @@ from .bindings_api import Index
 from .index import HNSWIndex
 from .params import HNSWParameters
 from .core.stats import HNSWInfo, LayerInfo
+from .results import KNNResult
 
 __version__ = "0.1.0"
 
 __all__ = ["Index", "HNSWIndex", "HNSWParameters", "HNSWInfo", "LayerInfo",
-           "__version__"]
+           "KNNResult", "__version__"]

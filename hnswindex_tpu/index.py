@@ -186,8 +186,7 @@ class HNSWIndex:
         is not paid at whole-wave width for nearly-empty layers."""
         cfg = self._cfg
         b = wid.shape[0]
-        use_exact = (int(self._state.count)
-                     <= self.params.exact_build_threshold)
+        use_exact = self._count_host <= self.params.exact_build_threshold
         self._state = scatter_wave(cfg, self._state, jnp.asarray(wid),
                                    jnp.asarray(wvec), jnp.asarray(wlvl),
                                    jnp.asarray(valid))
@@ -337,7 +336,7 @@ class HNSWIndex:
         never offer."""
         q = _as_2d_f32(queries, self.dim)
         n = q.shape[0]
-        if int(self._state.count) <= 0 or k < 1:
+        if self._count_host <= 0 or k < 1:
             return (np.full((n, k), -1, np.int32),
                     np.full((n, k), np.nan, np.float32))
         if exact:
@@ -393,6 +392,22 @@ class HNSWIndex:
             i += w
         return out_ids, out_d
 
+    def knn_query_results(self, query, k: int, filter_fnc=None,
+                          layer: int = 0):
+        """Single-query k-NN returning rich records (the reference's
+        List<KNNResult> shape, HNSWIndex.cs:107-123)."""
+        from .results import KNNResult
+        ids, dists = self.knn_query(query, k, filter_fnc=filter_fnc,
+                                    layer=layer)
+        vectors = np.asarray(self._state.vectors)
+        out = []
+        for i, d in zip(ids[0], dists[0]):
+            if i < 0:
+                break
+            out.append(KNNResult(id=int(i), label=vectors[int(i)].copy(),
+                                 distance=float(d)))
+        return out
+
     def range_query(self, queries, radius: float,
                     filter_fnc=None, layer: int = 0
                     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
@@ -402,7 +417,7 @@ class HNSWIndex:
         n = q.shape[0]
         ids_out: List[np.ndarray] = []
         d_out: List[np.ndarray] = []
-        if int(self._state.count) <= 0:
+        if self._count_host <= 0:
             return ([np.empty(0, np.int32) for _ in range(n)],
                     [np.empty(0, np.float32) for _ in range(n)])
         fmask = self._build_filter_mask(filter_fnc)
@@ -462,7 +477,7 @@ class HNSWIndex:
 
         Returns a list indexed by layer id; entries below ``min_layer`` are
         None."""
-        if int(self._state.count) <= 0 or k < 1:
+        if self._count_host <= 0 or k < 1:
             return []
         q = _as_2d_f32(query, self.dim)[:1]
         qj = jnp.asarray(q)
@@ -549,5 +564,7 @@ class HNSWIndex:
 
     @property
     def count(self) -> int:
-        """Number of active items (HNSWIndex.cs:250)."""
-        return int(self._state.count)
+        """Number of active items (HNSWIndex.cs:250).  Served from the
+        host mirror — a device readback costs ~35 ms through remote
+        runtimes."""
+        return self._count_host

@@ -216,15 +216,48 @@ class ShardedIndex:
 
         return query
 
-    def knn_query(self, queries, k: int):
-        """Fan-out batched k-NN: per-shard beams + global top-k merge."""
+    def _exact_query_fn(self, k: int):
+        cfg = self._cfg
+        C = self.shard_capacity
+        from ..ops.bruteforce import exact_knn
+
+        def run(st, q):
+            local = _squeeze(st)
+            d, i = exact_knn(cfg.metric, local.vectors, local.norms,
+                             local.active, q, k)
+            base = lax.axis_index("shard").astype(jnp.int32) * C
+            gi = jnp.where(i >= 0, i + base, -1)
+            return d[None], gi[None]
+
+        specs = (jax.tree.map(lambda _: P("shard"), self._state), P())
+        shmapped = _shard_map(run, self.mesh, specs,
+                              (P("shard"), P("shard")))
+
+        @jax.jit
+        def query(st, q):
+            d, gi = shmapped(st, q)          # (S, B, k) each
+            B = q.shape[0]
+            dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
+            ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
+            order = jnp.argsort(dd, axis=1)[:, :k]
+            return (jnp.take_along_axis(dd, order, axis=1),
+                    jnp.take_along_axis(ii, order, axis=1))
+
+        return query
+
+    def knn_query(self, queries, k: int, exact: bool = False):
+        """Fan-out batched k-NN: per-shard beams (or per-shard exact MXU
+        scoring with ``exact=True``) + global top-k merge over ICI."""
         q = np.ascontiguousarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
-        ef = max(self.params.min_nn, k)
-        max_iters = (self._cfg.search_iter_factor * ef) \
-            // max(1, self.params.query_expand) + 16
-        fn = self._query_fn(ef, max_iters)
+        if exact:
+            fn = self._exact_query_fn(k)
+        else:
+            ef = max(self.params.min_nn, k)
+            max_iters = (self._cfg.search_iter_factor * ef) \
+                // max(1, self.params.query_expand) + 16
+            fn = self._query_fn(ef, max_iters)
         d, i = fn(self._state, jnp.asarray(q))
         d = np.asarray(d)[:, :k]
         i = np.asarray(i)[:, :k]

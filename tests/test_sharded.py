@@ -32,6 +32,22 @@ def test_sharded_build_and_query():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_exact_mode():
+    devices = jax.devices()[:4]
+    rng = np.random.default_rng(7)
+    vecs = rng.random((300, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=320, max_wave_size=128)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+    q = rng.random((12, DIM), dtype=np.float32)
+    ids, dists = idx.knn_query(q, k=5, exact=True)
+    d_all = ((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    bf = gids[np.argsort(d_all, axis=1)[:, :5]]
+    assert np.array_equal(ids, bf)
+    assert np.all(np.diff(dists, axis=1) >= -1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_matches_brute_force_topk():
     devices = jax.devices()[:2]
     rng = np.random.default_rng(3)
