@@ -33,6 +33,7 @@ def log(*a):
 def main():
     n = int(os.environ.get("BENCH_N", "100000"))
     dim = int(os.environ.get("BENCH_DIM", "128"))
+    metric = os.environ.get("BENCH_METRIC", "sq_euclid")
     q_batch = int(os.environ.get("BENCH_QBATCH", "1024"))
     k = int(os.environ.get("BENCH_K", "10"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
@@ -47,9 +48,11 @@ def main():
 
     rng = np.random.default_rng(65537)
     vecs = rng.random((n, dim), dtype=np.float32)
+    if metric == "ucosine":
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
 
     params = HNSWParameters(collection_size=n, max_wave_size=512)
-    idx = HNSWIndex(dim, parameters=params)
+    idx = HNSWIndex(dim, metric, parameters=params)
 
     # -- build: first half warms every wave-bucket compilation; second half
     # is the steady-state measurement
@@ -80,7 +83,8 @@ def main():
         return reps * q_batch / (time.perf_counter() - t0)
 
     # ground truth for the query batch: host float64 brute force at
-    # moderate sizes, device scorer beyond
+    # moderate sizes, device scorer beyond.  (L2 ordering == cosine
+    # ordering on the normalized vectors used for the cosine benches.)
     if n <= 300000:
         qh = vecs[:q_batch].astype(np.float64)
         vh = vecs.astype(np.float64)
@@ -116,6 +120,27 @@ def main():
         log(f"graph ef={ef}: {qps:.0f} q/s, recall@{k} {rec:.3f}")
         if rec > 0.85:
             candidates.append((qps, f"graph(ef={ef})", rec))
+
+    # block mode (two-level MXU scoring) — the large-corpus serving path
+    from hnswindex_tpu.block import BlockIndex
+    bix = BlockIndex(dim, metric, parameters=params)
+    t0 = time.perf_counter()
+    bix.build(vecs)
+    log(f"block build: {time.perf_counter() - t0:.1f}s "
+        f"({bix.n_blocks} blocks)")
+    for n_probe in (16, 64, 128):
+        if n_probe > bix.n_blocks:
+            continue
+        ids_b, _ = bix.knn_query(np.asarray(queries), k, n_probe=n_probe)
+        rec = recall_of(ids_b)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            ids_b, _ = bix.knn_query(np.asarray(queries), k,
+                                     n_probe=n_probe)
+        qps = reps * q_batch / (time.perf_counter() - t0)
+        log(f"block n_probe={n_probe}: {qps:.0f} q/s, recall@{k} {rec:.3f}")
+        if rec > 0.85:
+            candidates.append((qps, f"block(n_probe={n_probe})", rec))
 
     def exact_run(qs):
         return exact_knn(cfg.metric, state.vectors, state.norms,

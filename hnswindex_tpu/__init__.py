@@ -21,8 +21,9 @@ from .index import HNSWIndex
 from .params import HNSWParameters
 from .core.stats import HNSWInfo, LayerInfo
 from .results import KNNResult
+from .block import BlockIndex
 
 __version__ = "0.1.0"
 
 __all__ = ["Index", "HNSWIndex", "HNSWParameters", "HNSWInfo", "LayerInfo",
-           "KNNResult", "__version__"]
+           "KNNResult", "BlockIndex", "__version__"]

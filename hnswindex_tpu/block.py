@@ -1,0 +1,243 @@
+"""BlockIndex — two-level TPU-native serving index.
+
+The HNSW graph's pointer-chasing beam is bandwidth-hostile on TPU: every
+expansion is a random 512-byte row fetch, and XLA's row gather runs far
+below HBM speed.  The TPU-first architecture for large-corpus serving is
+to make the unit of traversal a *block* of vectors laid out contiguously:
+
+* the corpus is clustered (balanced mini-k-means) into blocks of
+  ``block_size`` (default 128 — one MXU tile) stored contiguously as a
+  ``(NB, BS, D)`` array;
+* a query is *routed* to its ``n_probe`` closest blocks by centroid
+  distance — either exactly (one small matmul; centroids number ~N/100)
+  or through a centroid-level HNSW graph built with this framework's own
+  engine (``router="hnsw"``, for corpora where even the centroid table is
+  large);
+* the probed blocks are scored *exactly* on the MXU: fetching a block is
+  one contiguous 64 KB read instead of 128 scattered row reads, so
+  scoring runs near HBM speed instead of gather speed.
+
+This is the serving-mode ladder: ``exact`` (flat MXU scan) below ~1M,
+``BlockIndex`` above it, per-shard ``BlockIndex`` over a mesh beyond a
+single chip.  Recall is controlled by ``n_probe`` exactly like efSearch
+controls the graph beam.
+
+Static-build (bulk) in this version; dynamic adds go to the HNSW index —
+the two are complementary, not exclusive.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .ops import distance as dst
+from .params import HNSWParameters
+
+_ASSIGN_CHUNK = 8192
+
+
+@partial(jax.jit, static_argnames=("nc_chunk",))
+def _assign(vecs, vn, cents, cn, metric_dummy, nc_chunk: int = 0):
+    """Nearest centroid per vector (squared-L2 routing space)."""
+    dots = jnp.einsum("nd,cd->nc", vecs, cents,
+                      preferred_element_type=jnp.float32)
+    d = vn[:, None] + cn[None, :] - 2.0 * dots
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+def _kmeans(vecs: np.ndarray, n_clusters: int, iters: int,
+            rng: np.random.Generator) -> np.ndarray:
+    """Mini k-means on device, chunked assignments.  Returns (N,) labels."""
+    N, D = vecs.shape
+    idx0 = rng.choice(N, n_clusters, replace=False)
+    cents = vecs[idx0].copy()
+    v_j = jnp.asarray(vecs)
+    vn = jnp.sum(v_j * v_j, axis=1)
+
+    labels = np.zeros(N, dtype=np.int32)
+    for _ in range(iters):
+        c_j = jnp.asarray(cents)
+        cn = jnp.sum(c_j * c_j, axis=1)
+        for s in range(0, N, _ASSIGN_CHUNK):
+            e = min(N, s + _ASSIGN_CHUNK)
+            labels[s:e] = np.asarray(
+                _assign(v_j[s:e], vn[s:e], c_j, cn, 0))
+        # centroid update (host; N x D pass)
+        sums = np.zeros((n_clusters, D), np.float64)
+        np.add.at(sums, labels, vecs)
+        counts = np.bincount(labels, minlength=n_clusters).astype(np.float64)
+        nonempty = counts > 0
+        cents[nonempty] = (sums[nonempty]
+                           / counts[nonempty, None]).astype(np.float32)
+    return labels
+
+
+class BlockIndex:
+    """Two-level block-scored index (see module docstring)."""
+
+    def __init__(self, dim: int, metric: str = "sq_euclid",
+                 parameters: Optional[HNSWParameters] = None,
+                 block_size: int = 128, router: str = "exact",
+                 kmeans_iters: int = 6):
+        dst.check_metric(metric)
+        if router not in ("exact", "hnsw"):
+            raise ValueError("router must be 'exact' or 'hnsw'")
+        self.dim = int(dim)
+        self.metric = metric
+        self.params = parameters or HNSWParameters()
+        self.block_size = int(block_size)
+        self.router = router
+        self.kmeans_iters = int(kmeans_iters)
+        self._built = False
+
+    # -- build -----------------------------------------------------------
+
+    def build(self, vectors) -> None:
+        """Bulk build: cluster, lay out contiguous blocks, build router."""
+        vecs = np.ascontiguousarray(np.asarray(vectors, np.float32))
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) vectors")
+        N = vecs.shape[0]
+        BS = self.block_size
+        seed = (self.params.random_seed if self.params.random_seed >= 0
+                else None)
+        rng = np.random.default_rng(seed)
+
+        # target ~75% average block fill so cluster-size jitter rarely
+        # splits blocks
+        n_clusters = max(1, int(np.ceil(N / (0.75 * BS))))
+        labels = _kmeans(vecs, n_clusters, self.kmeans_iters, rng) \
+            if n_clusters > 1 else np.zeros(N, np.int32)
+
+        # chunk each cluster's members into blocks of <= BS
+        order = np.argsort(labels, kind="stable")
+        blocks = []
+        start = 0
+        sorted_labels = labels[order]
+        boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
+        for seg in np.split(order, boundaries):
+            for s in range(0, seg.size, BS):
+                blocks.append(seg[s:s + BS])
+        NB = len(blocks)
+
+        blk_ids = np.full((NB, BS), -1, np.int32)
+        blk_vecs = np.zeros((NB, BS, self.dim), np.float32)
+        for b, members in enumerate(blocks):
+            blk_ids[b, :members.size] = members
+            blk_vecs[b, :members.size] = vecs[members]
+        fill = (blk_ids >= 0)
+        cents = blk_vecs.sum(axis=1) / np.maximum(
+            fill.sum(axis=1), 1)[:, None]
+
+        self._blk_vecs = jnp.asarray(blk_vecs)
+        self._blk_ids = jnp.asarray(blk_ids)
+        self._blk_norms = jnp.where(
+            jnp.asarray(fill),
+            dst.norm_data(self.metric, self._blk_vecs), 0.0)
+        self._cents = jnp.asarray(cents.astype(np.float32))
+        self._cent_norms = dst.norm_data(self.metric, self._cents)
+        self.n_blocks = NB
+        self.count = N
+
+        if self.router == "hnsw":
+            from .index import HNSWIndex
+            p = HNSWParameters(collection_size=NB,
+                               random_seed=self.params.random_seed)
+            self._router_index = HNSWIndex(self.dim, self.metric, p)
+            self._router_index.add(np.asarray(self._cents))
+        self._built = True
+
+    # -- query -----------------------------------------------------------
+
+    def _route(self, qj, n_probe: int):
+        if self.router == "hnsw":
+            from .core.search import knn_search
+            ri = self._router_index
+            ef = max(n_probe, ri.params.min_nn)
+            mi = (ri._cfg.search_iter_factor * ef) \
+                // max(1, ri.params.query_expand) + 16
+            _, bids = knn_search(ri._cfg, ri._state, qj, 0, ef, mi,
+                                 expand=max(1, ri.params.query_expand))
+            return bids[:, :n_probe]
+        return _route_exact(self.metric, self._cents, self._cent_norms,
+                            qj, n_probe)
+
+    def knn_query(self, queries, k: int, n_probe: int = 32
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched k-NN: route to ``n_probe`` blocks, exact-score them on
+        the MXU.  Returns (ids (n, k) int32, dists (n, k) f32), -1/NaN
+        padded."""
+        if not self._built:
+            raise RuntimeError("BlockIndex.build() must be called first")
+        q = np.ascontiguousarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        n_probe = min(n_probe, self.n_blocks)
+        qj = jnp.asarray(q)
+        bids = self._route(qj, n_probe)
+        d, i = _score_blocks(self.metric, self._blk_vecs, self._blk_ids,
+                             self._blk_norms, qj, bids, k)
+        d = np.asarray(d)
+        i = np.asarray(i)
+        return i, np.where(i >= 0, d, np.nan).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("metric", "n_probe"))
+def _route_exact(metric, cents, cent_norms, q, n_probe: int):
+    qn = dst.norm_data(metric, q)
+    d = dst.pairwise(metric, q, cents, qn, cent_norms)
+    k2 = min(cents.shape[0], n_probe)
+    _, idx = lax.approx_min_k(d, k2, recall_target=0.99)
+    return idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _score_blocks(metric, blk_vecs, blk_ids, blk_norms, q, bids, k: int):
+    """Exact MXU scoring of each query's probed blocks.
+
+    Blocks are fetched in small groups so transient memory stays bounded;
+    each fetch is contiguous (BS, D) rows — the whole point of the block
+    layout."""
+    B, P = bids.shape
+    NB, BS, D = blk_vecs.shape
+    qn = dst.norm_data(metric, q)
+    PG = max(1, min(P, 2 ** 20 // (BS * D // 128)))  # ~group transient cap
+    PG = min(PG, 4)
+    npad = -(-P // PG) * PG - P
+    if npad:
+        bids = jnp.pad(bids, ((0, 0), (0, npad)), constant_values=-1)
+    P2 = bids.shape[1]
+
+    def body(g, carry):
+        bd, bi = carry
+        ids_g = lax.dynamic_slice_in_dim(bids, g * PG, PG, axis=1)  # (B,PG)
+        ok = ids_g >= 0
+        idc = jnp.clip(ids_g, 0, NB - 1)
+        vg = blk_vecs[idc]                      # (B, PG, BS, D) contiguous
+        ng = blk_norms[idc]                     # (B, PG, BS)
+        ig = blk_ids[idc]                       # (B, PG, BS)
+        lo = vg.dtype == jnp.bfloat16
+        dots = jnp.einsum("bpsd,bd->bps", vg, q.astype(vg.dtype),
+                          precision=None if lo else dst.DOT_PRECISION,
+                          preferred_element_type=jnp.float32)
+        dd = dst.from_dot(metric, dots, qn[:, None, None], ng)
+        valid = (ig >= 0) & ok[:, :, None]
+        dd = jnp.where(valid, dd, jnp.inf).reshape(B, PG * BS)
+        ii = jnp.where(valid, ig, -1).reshape(B, PG * BS)
+        md = jnp.concatenate([bd, dd], axis=1)
+        mi = jnp.concatenate([bi, ii], axis=1)
+        ordr = jnp.argsort(md, axis=1)[:, :k]
+        return (jnp.take_along_axis(md, ordr, axis=1),
+                jnp.take_along_axis(mi, ordr, axis=1))
+
+    bd0 = jnp.full((B, k), jnp.inf, jnp.float32)
+    bi0 = jnp.full((B, k), -1, jnp.int32)
+    bd, bi = lax.fori_loop(0, P2 // PG, body, (bd0, bi0))
+    bi = jnp.where(jnp.isfinite(bd), bi, -1)
+    return bd, bi

@@ -80,10 +80,11 @@ class HNSWParameters:
     #: Corpus-size ceiling for exact (MXU brute-force) candidate
     #: generation during construction.  Below this, every wave's layer-0
     #: candidates come from one blocked matmul over the corpus — faster
-    #: than graph beams on matmul hardware and exactly the true
-    #: efConstruction nearest neighbors.  Above it, wave beam search takes
-    #: over (O(log N) per insert).
-    exact_build_threshold: int = 1 << 18
+    #: than graph beams on matmul hardware (measured crossover vs the beam
+    #: path is ~4M vectors on v5e) and exactly the true efConstruction
+    #: nearest neighbors.  Above it, wave beam search takes over
+    #: (O(log N) per insert).
+    exact_build_threshold: int = 1 << 22
 
     #: Ranking-table dtype for graph traversal: "auto" (bfloat16 on TPU
     #: backends, float32 elsewhere), "float32", or "bfloat16".  Returned

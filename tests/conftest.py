@@ -19,3 +19,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles hundreds of programs
+# (shape buckets x capacities); caching them on disk cuts reruns from
+# ~30 min to minutes and works around an XLA-CPU compiler segfault seen
+# after very many in-process compilations.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
