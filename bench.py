@@ -34,6 +34,7 @@ def main():
     n = int(os.environ.get("BENCH_N", "100000"))
     dim = int(os.environ.get("BENCH_DIM", "128"))
     metric = os.environ.get("BENCH_METRIC", "sq_euclid")
+    data_kind = os.environ.get("BENCH_DATA", "uniform")
     q_batch = int(os.environ.get("BENCH_QBATCH", "1024"))
     k = int(os.environ.get("BENCH_K", "10"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
@@ -47,7 +48,14 @@ def main():
     from hnswindex_tpu.ops.bruteforce import exact_knn
 
     rng = np.random.default_rng(65537)
-    vecs = rng.random((n, dim), dtype=np.float32)
+    if data_kind == "clustered":
+        # proxy for real embedding datasets (SIFT/GloVe/DEEP have strong
+        # cluster structure; uniform random is the adversarial worst case)
+        centers = rng.random((max(2, n // 500), dim)).astype(np.float32)
+        vecs = (centers[rng.integers(0, centers.shape[0], n)]
+                + 0.03 * rng.standard_normal((n, dim)).astype(np.float32))
+    else:
+        vecs = rng.random((n, dim), dtype=np.float32)
     if metric == "ucosine":
         vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
 
@@ -131,13 +139,12 @@ def main():
     for n_probe in (16, 64, 128):
         if n_probe > bix.n_blocks:
             continue
-        ids_b, _ = bix.knn_query(np.asarray(queries), k, n_probe=n_probe)
-        rec = recall_of(ids_b)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            ids_b, _ = bix.knn_query(np.asarray(queries), k,
-                                     n_probe=n_probe)
-        qps = reps * q_batch / (time.perf_counter() - t0)
+
+        def block_run(qs, npb=n_probe):
+            return bix.query_device(qs, k, n_probe=npb)
+
+        qps = throughput(block_run)
+        rec = recall_of(np.asarray(block_run(queries)[1])[:, :k])
         log(f"block n_probe={n_probe}: {qps:.0f} q/s, recall@{k} {rec:.3f}")
         if rec > 0.85:
             candidates.append((qps, f"block(n_probe={n_probe})", rec))

@@ -132,11 +132,19 @@ class BlockIndex:
             blk_ids[b, :members.size] = members
             blk_vecs[b, :members.size] = vecs[members]
         fill = (blk_ids >= 0)
+        id_to_pos = np.zeros(N, np.int64)
+        flat_ids = blk_ids.reshape(-1)
+        id_to_pos[flat_ids[flat_ids >= 0]] = np.flatnonzero(flat_ids >= 0)
+        self._id_to_pos = id_to_pos
+        # host copy for float64 refinement (fetching the device array per
+        # query would ship the whole block table across the wire)
+        self._host_flat = blk_vecs.reshape(-1, self.dim)
         cents = blk_vecs.sum(axis=1) / np.maximum(
             fill.sum(axis=1), 1)[:, None]
 
         self._blk_vecs = jnp.asarray(blk_vecs)
         self._blk_ids = jnp.asarray(blk_ids)
+        self._blk_fill = jnp.asarray(fill.sum(axis=1).astype(np.int32))
         self._blk_norms = jnp.where(
             jnp.asarray(fill),
             dst.norm_data(self.metric, self._blk_vecs), 0.0)
@@ -144,6 +152,8 @@ class BlockIndex:
         self._cent_norms = dst.norm_data(self.metric, self._cents)
         self.n_blocks = NB
         self.count = N
+        import jax as _jax
+        self._use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
 
         if self.router == "hnsw":
             from .index import HNSWIndex
@@ -168,6 +178,20 @@ class BlockIndex:
         return _route_exact(self.metric, self._cents, self._cent_norms,
                             qj, n_probe)
 
+    def query_device(self, qj, k: int, n_probe: int = 32):
+        """Device-level query: returns (dists, ids) device arrays without
+        host-side refinement/sync — the form benchmark loops and in-graph
+        consumers want.  ``knn_query`` wraps this with float64 refinement.
+        """
+        n_probe = min(n_probe, self.n_blocks)
+        bids = self._route(qj, n_probe)
+        if self._use_pallas:
+            return _score_blocks_pallas(
+                self.metric, self._blk_vecs, self._blk_ids, self._blk_fill,
+                qj, bids, k)
+        return _score_blocks(self.metric, self._blk_vecs, self._blk_ids,
+                             self._blk_norms, qj, bids, k)
+
     def knn_query(self, queries, k: int, n_probe: int = 32
                   ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched k-NN: route to ``n_probe`` blocks, exact-score them on
@@ -178,14 +202,34 @@ class BlockIndex:
         q = np.ascontiguousarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
-        n_probe = min(n_probe, self.n_blocks)
-        qj = jnp.asarray(q)
-        bids = self._route(qj, n_probe)
-        d, i = _score_blocks(self.metric, self._blk_vecs, self._blk_ids,
-                             self._blk_norms, qj, bids, k)
-        d = np.asarray(d)
-        i = np.asarray(i)
-        return i, np.where(i >= 0, d, np.nan).astype(np.float32)
+        d, i = self.query_device(jnp.asarray(q), k, n_probe)
+        return self._refine(q, np.asarray(i), k)
+
+    def _refine(self, q: np.ndarray, ids: np.ndarray, k: int):
+        """Recompute returned distances in float64 and re-sort (the
+        ranking panel may be computed at reduced precision)."""
+        pos = self._id_to_pos
+        rows = pos[np.clip(ids, 0, self.count - 1)]
+        vecs = self._host_flat[rows].astype(np.float64)
+        qq = q.astype(np.float64)[:, None, :]
+        if self.metric == "sq_euclid":
+            d = np.sum((qq - vecs) ** 2, axis=-1)
+        else:
+            dot = np.sum(qq * vecs, axis=-1)
+            if self.metric == "cosine":
+                qn = np.linalg.norm(qq, axis=-1)
+                cn = np.linalg.norm(vecs, axis=-1)
+                den = qn * cn
+                d = np.where(den > 0, 1.0 - dot / np.where(den > 0, den, 1),
+                             1.0)
+            else:
+                d = 1.0 - dot
+        d = np.where(ids >= 0, d, np.inf)
+        order = np.argsort(d, axis=1, kind="stable")[:, :k]
+        r = np.arange(ids.shape[0])[:, None]
+        out_ids = ids[r, order].astype(np.int32)
+        out_d = d[r, order].astype(np.float32)
+        return out_ids, np.where(out_ids >= 0, out_d, np.nan)
 
 
 @partial(jax.jit, static_argnames=("metric", "n_probe"))
@@ -195,6 +239,31 @@ def _route_exact(metric, cents, cent_norms, q, n_probe: int):
     k2 = min(cents.shape[0], n_probe)
     _, idx = lax.approx_min_k(d, k2, recall_target=0.99)
     return idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _score_blocks_pallas(metric, blk_vecs, blk_ids, blk_fill, q, bids,
+                         k: int):
+    """Score probed blocks with the fused Pallas DMA+MXU kernel
+    (ops/pallas_block.py) and select top-k from the distance panel.
+    Partially-filled blocks are masked with their fill counts (no
+    per-row id gather needed)."""
+    from .ops.pallas_block import block_scores
+    B, P = bids.shape
+    NB, BS, D = blk_vecs.shape
+    panel = block_scores(metric, blk_vecs, bids, q)     # (B, P*BS)
+    fillp = blk_fill[jnp.clip(bids, 0, NB - 1)]          # (B, P)
+    ok = (jnp.arange(BS)[None, None, :] < fillp[:, :, None]) \
+        & (bids >= 0)[:, :, None]
+    panel = jnp.where(ok.reshape(B, P * BS), panel, jnp.inf)
+    # oversample the panel selection; the caller re-ranks in float64
+    k2 = min(max(2 * k, 32), P * BS)
+    vals, pos = lax.approx_min_k(panel, k2, recall_target=0.99)
+    blk_of = jnp.take_along_axis(bids, pos // BS, axis=1)
+    slot_of = pos % BS
+    ids = blk_ids[jnp.clip(blk_of, 0, NB - 1), slot_of]
+    ids = jnp.where(jnp.isfinite(vals), ids, -1)
+    return vals, ids
 
 
 @partial(jax.jit, static_argnames=("metric", "k"))
