@@ -44,11 +44,14 @@ from .utils.profiling import profiler
 
 
 def resolve_rank_dtype(pref: str) -> str:
+    """"auto" resolves to float32: bf16 ranking (~0.4% relative dot noise)
+    scrambles neighbor order inside tight clusters, where true distance
+    gaps are smaller than the noise — measured as a hard recall ceiling on
+    clustered corpora.  bf16 remains an explicit opt-in for workloads with
+    wide distance margins."""
     if pref in ("float32", "bfloat16"):
         return pref
-    import jax
-    plat = jax.devices()[0].platform
-    return "bfloat16" if plat in ("tpu", "axon") else "float32"
+    return "float32"
 
 WAVE_BUCKETS = (1, 8, 64, 512)
 UPPER_BUCKETS = (1, 8, 64, 512)

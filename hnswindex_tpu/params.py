@@ -86,9 +86,11 @@ class HNSWParameters:
     #: (O(log N) per insert).
     exact_build_threshold: int = 1 << 22
 
-    #: Ranking-table dtype for graph traversal: "auto" (bfloat16 on TPU
-    #: backends, float32 elsewhere), "float32", or "bfloat16".  Returned
-    #: distances are always refined in full precision.
+    #: Ranking-table dtype for graph traversal: "float32" (default; exact
+    #: at search precision) or "bfloat16" (halves traversal gather bytes,
+    #: but its ~0.4% dot noise caps recall on corpora with tight clusters
+    #: — opt in only when distance margins are wide).  Returned distances
+    #: are always refined in full precision either way.
     rank_dtype: str = "auto"
 
     def validate(self) -> None:
