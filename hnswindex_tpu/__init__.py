@@ -22,8 +22,9 @@ from .params import HNSWParameters
 from .core.stats import HNSWInfo, LayerInfo
 from .results import KNNResult
 from .block import BlockIndex
+from .ops.distance import register_metric
 
 __version__ = "0.1.0"
 
 __all__ = ["Index", "HNSWIndex", "HNSWParameters", "HNSWInfo", "LayerInfo",
-           "KNNResult", "BlockIndex", "__version__"]
+           "KNNResult", "BlockIndex", "register_metric", "__version__"]

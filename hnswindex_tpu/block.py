@@ -86,6 +86,9 @@ class BlockIndex:
                  block_size: int = 128, router: str = "exact",
                  kmeans_iters: int = 6):
         dst.check_metric(metric)
+        if dst.is_custom(metric):
+            raise ValueError(
+                "BlockIndex requires a dot-decomposable built-in metric")
         if router not in ("exact", "hnsw"):
             raise ValueError("router must be 'exact' or 'hnsw'")
         self.dim = int(dim)

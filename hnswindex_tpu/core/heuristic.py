@@ -58,11 +58,19 @@ def prune(metric: str,
 
     # Pairwise candidate-candidate distances (B, N, N) — one MXU batch op
     # replacing the reference's per-pair distanceFnc calls (Heuristic.cs:34).
-    lo = svecs.dtype == jnp.bfloat16
-    dots = jnp.einsum("bid,bjd->bij", svecs, svecs,
-                      precision=None if lo else dst.DOT_PRECISION,
-                      preferred_element_type=jnp.float32)
-    pd = dst.from_dot(metric, dots, snorms[:, :, None], snorms[:, None, :])
+    if dst.is_custom(metric):
+        # general path: one candidate column at a time keeps the (B, N, D)
+        # broadcast bounded
+        fn = dst._CUSTOM_METRICS[metric]
+        pd = lax.map(lambda i: fn(svecs[:, i, None, :], svecs),
+                     jnp.arange(N)).transpose(1, 0, 2)  # (B, i, j)
+    else:
+        lo = svecs.dtype == jnp.bfloat16
+        dots = jnp.einsum("bid,bjd->bij", svecs, svecs,
+                          precision=None if lo else dst.DOT_PRECISION,
+                          preferred_element_type=jnp.float32)
+        pd = dst.from_dot(metric, dots, snorms[:, :, None],
+                          snorms[:, None, :])
 
     n_valid = jnp.sum(svalid, axis=1)
     keep_all = n_valid < max_edges  # Heuristic.cs:13-18

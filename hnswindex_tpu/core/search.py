@@ -51,8 +51,11 @@ def _dist_to_nodes(metric, q, qn, vectors, norms, ids):
     ``vectors`` is the *ranking* table (f32 or bf16, GraphState.vlo)."""
     C = vectors.shape[0]
     idc = jnp.clip(ids, 0, C - 1)
-    lo = vectors.dtype == jnp.bfloat16
     if ids.ndim == 1:
+        if dst.is_custom(metric):
+            return dst.exact(metric, q.astype(vectors.dtype),
+                             vectors[idc]).astype(jnp.float32)
+        lo = vectors.dtype == jnp.bfloat16
         dots = jnp.einsum("bd,bd->b", q.astype(vectors.dtype),
                           vectors[idc],
                           precision=None if lo else dst.DOT_PRECISION,

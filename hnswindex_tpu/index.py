@@ -189,7 +189,10 @@ class HNSWIndex:
         is not paid at whole-wave width for nearly-empty layers."""
         cfg = self._cfg
         b = wid.shape[0]
-        use_exact = self._count_host <= self.params.exact_build_threshold
+        # exact MXU candidates need a dot-decomposable metric; custom
+        # metrics build through the beam path
+        use_exact = (self._count_host <= self.params.exact_build_threshold
+                     and not dst.is_custom(self.metric))
         self._state = scatter_wave(cfg, self._state, jnp.asarray(wid),
                                    jnp.asarray(wvec), jnp.asarray(wlvl),
                                    jnp.asarray(valid))
@@ -306,7 +309,12 @@ class HNSWIndex:
         idc = np.clip(ids, 0, self._state.capacity - 1)
         vecs = np.asarray(self._state.vectors)[idc].astype(np.float64)
         qq = q.astype(np.float64)[:, None, :]
-        if self.metric == "sq_euclid":
+        if dst.is_custom(self.metric):
+            d = np.asarray(dst.exact(self.metric,
+                                     qq.astype(np.float32),
+                                     vecs.astype(np.float32)),
+                           dtype=np.float64)
+        elif self.metric == "sq_euclid":
             d = np.sum((qq - vecs) ** 2, axis=-1)
         else:
             dot = np.sum(qq * vecs, axis=-1)
@@ -371,6 +379,11 @@ class HNSWIndex:
 
     def _exact_query(self, q: np.ndarray, k: int, filter_fnc, layer: int
                      ) -> Tuple[np.ndarray, np.ndarray]:
+        if dst.is_custom(self.metric):
+            raise ValueError(
+                "exact=True requires a dot-decomposable built-in metric; "
+                f"custom metric {self.metric!r} is served by the graph "
+                "path")
         from .ops.bruteforce import exact_knn
         n = q.shape[0]
         allowed = self._state.active

@@ -42,6 +42,8 @@ def exact_knn(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
     Optional ``exclude (B,)`` masks one id per query (self-exclusion for
     construction waves).  Returns (dists (B, k), ids (B, k)) ascending,
     -1/inf padded for inactive-only slots."""
+    if dst.is_custom(metric):
+        raise ValueError("exact_knn requires a dot-decomposable metric")
     C, D = vectors.shape
     B = q.shape[0]
     qn = dst.norm_data(metric, q)

@@ -28,6 +28,29 @@ import jax.numpy as jnp
 
 VALID_METRICS = ("sq_euclid", "cosine", "ucosine")
 
+#: User-registered metrics: name -> jax-traceable fn(a, b) -> distance,
+#: broadcasting over leading dims (the TPU analog of the reference's
+#: "pass any Func<TVector, TVector, TDistance>" constructor argument,
+#: HNSWIndex.cs:20 / README "Flexible Distance Metric").  Custom metrics
+#: run the general (non-dot-decomposed) path: fully supported by graph
+#: search, construction, removal and range queries; the exact/block MXU
+#: fast paths require a dot-decomposable metric and raise otherwise.
+_CUSTOM_METRICS: dict = {}
+
+
+def register_metric(name: str, fn) -> None:
+    """Register a custom distance ``fn(a, b) -> d`` (jax-traceable,
+    broadcasting over leading dims, reducing the last)."""
+    if name in VALID_METRICS:
+        raise ValueError(f"{name!r} is a built-in metric")
+    if not callable(fn):
+        raise TypeError("fn must be callable")
+    _CUSTOM_METRICS[name] = fn
+
+
+def is_custom(metric: str) -> bool:
+    return metric in _CUSTOM_METRICS
+
 #: MXU precision for distance dot products.  The TPU default (bf16 passes)
 #: costs ~2.5e-3 relative error — enough to scramble near-tie neighbor
 #: rankings — so distance math runs the full-f32 path.  Revisit per-kernel
@@ -36,9 +59,10 @@ DOT_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def check_metric(metric: str) -> None:
-    if metric not in VALID_METRICS:
+    if metric not in VALID_METRICS and metric not in _CUSTOM_METRICS:
         raise ValueError(
-            f"unknown metric {metric!r}; expected one of {VALID_METRICS}"
+            f"unknown metric {metric!r}; expected one of {VALID_METRICS} "
+            f"or a name registered via register_metric()"
         )
 
 
@@ -52,7 +76,7 @@ def norm_data(metric: str, v: jnp.ndarray) -> jnp.ndarray:
         return jnp.sum(v * v, axis=-1)
     if metric == "cosine":
         return jnp.sqrt(jnp.sum(v * v, axis=-1))
-    return jnp.zeros(v.shape[:-1], v.dtype)
+    return jnp.zeros(v.shape[:-1], v.dtype)  # ucosine + custom: unused
 
 
 def from_dot(metric: str, dot, qn, cn):
@@ -73,6 +97,9 @@ def from_dot(metric: str, dot, qn, cn):
 def pairwise(metric: str, q: jnp.ndarray, x: jnp.ndarray,
              qn=None, xn=None) -> jnp.ndarray:
     """All-pairs distances ``(B, D) x (N, D) -> (B, N)`` via one MXU matmul."""
+    if metric in _CUSTOM_METRICS:
+        return _CUSTOM_METRICS[metric](
+            q[:, None, :], x[None, :, :]).astype(jnp.float32)
     dots = jnp.einsum("bd,nd->bn", q, x, precision=DOT_PRECISION,
                       preferred_element_type=jnp.float32)
     if qn is None:
@@ -93,6 +120,9 @@ def gathered(metric: str, q: jnp.ndarray, qn: jnp.ndarray,
     When the candidate table is bfloat16 (ranking mode) the MXU's native
     bf16 x bf16 -> f32 path is used; f32 inputs get the full-precision
     pass."""
+    if metric in _CUSTOM_METRICS:
+        return _CUSTOM_METRICS[metric](q[:, None, :].astype(cvecs.dtype),
+                                       cvecs).astype(jnp.float32)
     lo = cvecs.dtype == jnp.bfloat16
     prec = None if lo else DOT_PRECISION
     dots = jnp.einsum("bkd,bd->bk", cvecs, q.astype(cvecs.dtype),
@@ -106,6 +136,8 @@ def exact(metric: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Used by oracle tests and final distance refinement; numerically matches
     the reference's scalar kernels (diff-square accumulation for L2,
     dot/norm for cosine)."""
+    if metric in _CUSTOM_METRICS:
+        return _CUSTOM_METRICS[metric](a, b)
     if metric == "sq_euclid":
         d = a - b
         return jnp.sum(d * d, axis=-1)
