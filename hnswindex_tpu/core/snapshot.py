@@ -32,6 +32,70 @@ from .graph import GraphConfig, GraphState
 
 FORMAT_VERSION = 1
 
+# magic of the native C++ host engine's snapshot (native/hnsw_host.cpp)
+_HOST_MAGIC = b"HNSWHST1"
+
+
+def load_host_snapshot(path: str):
+    """Parse a native host-engine snapshot (hnsw_host.cpp serialize format)
+    into (params, metric, dim, per-node levels/vectors/edges, free list,
+    entry point) — the cross-engine migration path: build on CPU with the
+    native engine, serve on TPU."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != _HOST_MAGIC:
+        raise ValueError("not a host-engine snapshot")
+    off = 8
+
+    def r32():
+        nonlocal off
+        v = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        return v
+
+    dim = r32()
+    metric_i = r32()
+    metric = ("sq_euclid", "cosine", "ucosine")[metric_i]
+    p = HNSWParameters()
+    p.max_edges = r32()
+    p.min_nn = r32()
+    p.max_candidates = r32()
+    p.remove_max_candidates = r32()
+    p.collection_size = r32()
+    p.random_seed = r32()
+    p.allow_removals = bool(r32())
+    p.distribution_rate = struct.unpack_from("<d", data, off)[0]
+    off += 8
+    capacity = r32()
+    length = r32()
+    entry = r32()
+    count = r32()
+    nfree = r32()
+    free = [r32() for _ in range(nfree)]
+
+    levels = np.full(length, -1, np.int32)
+    removed = np.zeros(length, bool)
+    vectors = np.zeros((length, dim), np.float32)
+    edges = [None] * length
+    for i in range(length):
+        levels[i] = r32()
+        removed[i] = bool(r32())
+        if levels[i] < 0:
+            continue
+        vectors[i] = np.frombuffer(data, np.float32, dim, off)
+        off += 4 * dim
+        node_edges = []
+        for _ in range(levels[i] + 1):
+            deg = r32()
+            node_edges.append(
+                np.frombuffer(data, np.int32, deg, off).copy())
+            off += 4 * deg
+        edges[i] = node_edges
+    return (p, metric, dim, capacity, length, entry, count, free, levels,
+            removed, vectors, edges)
+
 
 def save(path: str, cfg: GraphConfig, params: HNSWParameters,
          state: GraphState, length: int, free: list[int],

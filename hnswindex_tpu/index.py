@@ -561,12 +561,62 @@ class HNSWIndex:
             build_expand=params.build_expand,
             rank_dtype=resolve_rank_dtype(params.rank_dtype))
         idx._state = state._replace(
-            vlo=state.vectors.astype(jnp.dtype(idx._cfg.rank_dtype)))
+            vlo=jnp.array(state.vectors,
+                          dtype=jnp.dtype(idx._cfg.rank_dtype), copy=True))
         seed = params.random_seed if params.random_seed >= 0 else None
         idx._rng = np.random.default_rng(seed)
         idx._free = free
         idx._length = header["length"]
         idx._count_host = header["count"]
+        return idx
+
+    @classmethod
+    def from_host_snapshot(cls, path: str) -> "HNSWIndex":
+        """Import a native C++ host-engine snapshot
+        (native/hnsw_host.cpp) — build on CPU, serve on TPU.  Graph
+        semantics are identical (same algorithm family), so queries work
+        immediately."""
+        (params, metric, dim, capacity, length, entry, count, free,
+         levels, removed, vectors, edges) = snapshot.load_host_snapshot(
+            path)
+        params.collection_size = max(capacity, 2)
+        idx = cls(dim, metric, params)
+        idx._grow_to(length)
+        st = idx._state
+        C = st.capacity
+        L = st.num_levels
+        K = st.nbr.shape[2]
+        nbr = np.full((L, C, K), -1, np.int32)
+        deg = np.zeros((L, C), np.int32)
+        lvl = np.full(C, -1, np.int32)
+        act = np.zeros(C, bool)
+        vec = np.zeros((C, dim), np.float32)
+        for i in range(length):
+            if levels[i] < 0:
+                continue
+            vec[i] = vectors[i]
+            lvl[i] = min(int(levels[i]), L - 1)
+            act[i] = not removed[i]
+            for l, e in enumerate(edges[i][:L]):
+                e = e[:K]
+                nbr[l, i, :e.size] = e
+                deg[l, i] = e.size
+        vj = jnp.asarray(vec)
+        idx._state = st._replace(
+            vectors=vj,
+            # explicit copy: astype to the same dtype aliases the buffer,
+            # and aliased fields break donation
+            vlo=jnp.array(vj, dtype=st.vlo.dtype, copy=True),
+            norms=dst.norm_data(metric, vj),
+            level=jnp.asarray(lvl),
+            nbr=jnp.asarray(nbr),
+            deg=jnp.asarray(deg),
+            active=jnp.asarray(act),
+            ep=jnp.asarray(entry, jnp.int32),
+            count=jnp.asarray(count, jnp.int32))
+        idx._length = length
+        idx._free = [int(x) for x in free]
+        idx._count_host = int(count)
         return idx
 
     def items(self) -> np.ndarray:

@@ -124,3 +124,27 @@ def test_host_vs_tpu_engine_agree(corpus):
     agree = np.mean([h2row[int(a)] == t2row[int(b)]
                      for a, b in zip(hr, tr)])
     assert agree > 0.9, agree
+
+
+def test_host_snapshot_imports_into_tpu_engine(corpus, tmp_path):
+    """Cross-engine migration: build with the native C++ engine, serve
+    with the JAX/TPU engine."""
+    from hnswindex_tpu.index import HNSWIndex as TPUIndex
+
+    vecs = corpus[:400]
+    host = HostIndex(DIM)
+    host.set_collection_size(512)
+    hids = host.add(vecs)
+    path = str(tmp_path / "xengine.bin")
+    host.serialize(path)
+
+    tpu = TPUIndex.from_host_snapshot(path)
+    assert tpu.count == 400
+    rid = tpu.knn_query(vecs, 1)[0][:, 0]
+    assert (rid == hids).mean() > 0.9
+    # still mutable after import
+    extra = np.random.default_rng(8).random((30, DIM), dtype=np.float32)
+    nid = tpu.add(extra)
+    assert tpu.count == 430
+    rid2 = tpu.knn_query(extra, 1)[0][:, 0]
+    assert (rid2 == nid).mean() > 0.8
