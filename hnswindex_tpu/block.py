@@ -166,6 +166,61 @@ class BlockIndex:
             self._router_index.add(np.asarray(self._cents))
         self._built = True
 
+    # -- persistence ------------------------------------------------------
+
+    def serialize(self, path: str) -> None:
+        """Snapshot the block layout + router to one .npz."""
+        if not self._built:
+            raise RuntimeError("nothing to serialize: build() first")
+        import json
+        header = {
+            "dim": self.dim, "metric": self.metric,
+            "block_size": self.block_size, "router": self.router,
+            "count": int(self.count), "n_blocks": int(self.n_blocks),
+        }
+        np.savez_compressed(
+            path,
+            header=np.frombuffer(json.dumps(header).encode(), np.uint8),
+            blk_vecs=np.asarray(self._blk_vecs),
+            blk_ids=np.asarray(self._blk_ids),
+            cents=np.asarray(self._cents))
+
+    @classmethod
+    def deserialize(cls, path: str) -> "BlockIndex":
+        import json
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"]).decode())
+            ix = cls(header["dim"], header["metric"],
+                     block_size=header["block_size"],
+                     router=header["router"])
+            blk_vecs = z["blk_vecs"]
+            blk_ids = z["blk_ids"]
+            cents = z["cents"]
+        fill = blk_ids >= 0
+        ix._blk_vecs = jnp.asarray(blk_vecs)
+        ix._blk_ids = jnp.asarray(blk_ids)
+        ix._blk_fill = jnp.asarray(fill.sum(axis=1).astype(np.int32))
+        ix._blk_norms = jnp.where(
+            jnp.asarray(fill), dst.norm_data(ix.metric, ix._blk_vecs), 0.0)
+        ix._cents = jnp.asarray(cents)
+        ix._cent_norms = dst.norm_data(ix.metric, ix._cents)
+        ix.n_blocks = int(header["n_blocks"])
+        ix.count = int(header["count"])
+        id_to_pos = np.zeros(ix.count, np.int64)
+        flat = blk_ids.reshape(-1)
+        id_to_pos[flat[flat >= 0]] = np.flatnonzero(flat >= 0)
+        ix._id_to_pos = id_to_pos
+        ix._host_flat = blk_vecs.reshape(-1, ix.dim)
+        import jax as _jax
+        ix._use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
+        if ix.router == "hnsw":
+            from .index import HNSWIndex
+            p = HNSWParameters(collection_size=ix.n_blocks)
+            ix._router_index = HNSWIndex(ix.dim, ix.metric, p)
+            ix._router_index.add(np.asarray(ix._cents))
+        ix._built = True
+        return ix
+
     # -- query -----------------------------------------------------------
 
     def _route(self, qj, n_probe: int):

@@ -26,8 +26,7 @@ reference's scalar kernels (metric_test.py oracle comparisons at 1e-5).
 
 from __future__ import annotations
 
-import math
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

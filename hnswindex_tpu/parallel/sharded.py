@@ -23,7 +23,6 @@ stable across re-sharding of the query side.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List
 
 import jax

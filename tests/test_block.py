@@ -75,3 +75,16 @@ def test_block_padding_and_validation():
         BlockIndex(DIM).knn_query(vecs[:1], 1)
     with pytest.raises(ValueError):
         BlockIndex(DIM, router="bogus")
+
+
+def test_block_serialize_roundtrip(data, tmp_path):
+    vecs, q, gt = data
+    ix = BlockIndex(DIM, block_size=64)
+    ix.build(vecs)
+    path = str(tmp_path / "block.npz")
+    ix.serialize(path)
+    r = BlockIndex.deserialize(path)
+    a = ix.knn_query(q, 10, n_probe=32)
+    b = r.knn_query(q, 10, n_probe=32)
+    assert np.array_equal(a[0], b[0])
+    assert np.array_equal(a[1], b[1], equal_nan=True)
