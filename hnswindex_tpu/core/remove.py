@@ -91,6 +91,33 @@ def repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids, layer,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def affected_masks_all(cfg: GraphConfig, state: GraphState, rem_ids):
+    """(L, C) affected masks for every layer in one pass.
+
+    Edges into removed nodes are never *added* during repair, so the
+    per-layer in-neighbor sets depend only on the pre-repair state — one
+    table scan + one host readback serves the whole wave (each readback
+    costs ~35 ms through remote runtimes)."""
+    C = state.capacity
+    rmask = _removed_mask(state, rem_ids)
+    hit = (state.nbr >= 0) & rmask[jnp.clip(state.nbr, 0, C - 1)]
+    return jnp.any(hit, axis=2) & state.active[None, :]
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def clear_removed_rows_all(cfg: GraphConfig, state: GraphState, rem_ids):
+    """Erase removed nodes' out-edges at every layer (single scatter)."""
+    C = state.capacity
+    K = state.nbr.shape[2]
+    L = state.num_levels
+    rowd = jnp.where(rem_ids >= 0, rem_ids, C)
+    nbr = state.nbr.at[:, rowd, :].set(
+        jnp.full((L, rem_ids.shape[0], K), -1, jnp.int32), mode="drop")
+    deg = state.deg.at[:, rowd].set(0, mode="drop")
+    return state._replace(nbr=nbr, deg=deg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def affected_mask(cfg: GraphConfig, state: GraphState, rem_ids, layer):
     """Active nodes holding an out-edge into the removal wave at ``layer``
     — the exact in-neighbor set the reference reads from Node.InEdges

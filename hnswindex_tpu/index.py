@@ -258,12 +258,15 @@ class HNSWIndex:
     def _remove_wave(self, cfg, rem_j, wave, lvl, efR, max_iters):
         self._state = R.mark_removed(cfg, self._state, rem_j)
         top = int(lvl[wave].max())
+        # one readback serves every layer (edges into removed nodes are
+        # never added during repair)
+        aff_all = np.asarray(
+            R.affected_masks_all(cfg, self._state, rem_j))
         for l in range(top, -1, -1):
             layer = jnp.asarray(l, jnp.int32)
             scand = R.repair_candidates(cfg, self._state, rem_j, layer,
                                         efR, max_iters)
-            aff = np.flatnonzero(np.asarray(
-                R.affected_mask(cfg, self._state, rem_j, layer)))
+            aff = np.flatnonzero(aff_all[l])
             max_deg = cfg.max_degree(l == 0)
             for cstart in range(0, aff.size, AFFECTED_CHUNK):
                 chunk = aff[cstart:cstart + AFFECTED_CHUNK]
@@ -272,8 +275,7 @@ class HNSWIndex:
                 self._state = R.repair_chunk(
                     cfg, self._state, jnp.asarray(cpad), rem_j, scand,
                     layer, max_deg, efR)
-            self._state = R.clear_removed_rows(cfg, self._state, rem_j,
-                                               layer)
+        self._state = R.clear_removed_rows_all(cfg, self._state, rem_j)
         self._free.extend(int(x) for x in wave)
         self._count_host -= int(wave.size)
 
