@@ -42,40 +42,63 @@ from .params import HNSWParameters
 _ASSIGN_CHUNK = 8192
 
 
-@partial(jax.jit, static_argnames=("nc_chunk",))
-def _assign(vecs, vn, cents, cn, metric_dummy, nc_chunk: int = 0):
-    """Nearest centroid per vector (squared-L2 routing space)."""
-    dots = jnp.einsum("nd,cd->nc", vecs, cents,
-                      preferred_element_type=jnp.float32)
-    d = vn[:, None] + cn[None, :] - 2.0 * dots
-    return jnp.argmin(d, axis=1).astype(jnp.int32)
+@partial(jax.jit, static_argnames=("iters", "chunk"))
+def _kmeans_device(vecs, cents0, iters: int, chunk: int):
+    """Mini k-means entirely on device: chunked Lloyd assignments (bounded
+    (chunk, NC) score transients) + scatter-add centroid updates.  One
+    dispatch for the whole run — host syncs in the assignment loop were
+    the dominant cost of block builds on remote runtimes."""
+    N, D = vecs.shape
+    NC = cents0.shape[0]
+    vn = jnp.sum(vecs * vecs, axis=1)
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    vp = jnp.pad(vecs, ((0, pad), (0, 0)))
+    vnp_ = jnp.pad(vn, (0, pad), constant_values=jnp.inf)
+
+    def one_iter(cents, _):
+        cn = jnp.sum(cents * cents, axis=1)
+
+        def assign_chunk(s, carry):
+            labels, sums, counts = carry
+            vc = lax.dynamic_slice_in_dim(vp, s * chunk, chunk)
+            vnc = lax.dynamic_slice_in_dim(vnp_, s * chunk, chunk)
+            dots = jnp.einsum("nd,cd->nc", vc, cents,
+                              preferred_element_type=jnp.float32)
+            d = vnc[:, None] + cn[None, :] - 2.0 * dots
+            lab = jnp.argmin(d, axis=1).astype(jnp.int32)
+            valid = jnp.isfinite(vnc)
+            labx = jnp.where(valid, lab, NC)
+            labels = lax.dynamic_update_slice_in_dim(labels, lab, s * chunk,
+                                                     axis=0)
+            sums = sums.at[labx].add(jnp.where(valid[:, None], vc, 0.0),
+                                     mode="drop")
+            counts = counts.at[labx].add(valid.astype(jnp.float32),
+                                         mode="drop")
+            return labels, sums, counts
+
+        labels0 = jnp.zeros((n_chunks * chunk,), jnp.int32)
+        sums0 = jnp.zeros((NC, D), jnp.float32)
+        counts0 = jnp.zeros((NC,), jnp.float32)
+        labels, sums, counts = lax.fori_loop(
+            0, n_chunks, assign_chunk, (labels0, sums0, counts0))
+        new_cents = jnp.where(counts[:, None] > 0,
+                              sums / jnp.maximum(counts[:, None], 1.0),
+                              cents)
+        return new_cents, labels
+
+    cents, labels_hist = lax.scan(one_iter, cents0, None, length=iters)
+    return labels_hist[-1][:N]
 
 
 def _kmeans(vecs: np.ndarray, n_clusters: int, iters: int,
             rng: np.random.Generator) -> np.ndarray:
-    """Mini k-means on device, chunked assignments.  Returns (N,) labels."""
+    """Mini k-means; returns (N,) labels."""
     N, D = vecs.shape
     idx0 = rng.choice(N, n_clusters, replace=False)
-    cents = vecs[idx0].copy()
-    v_j = jnp.asarray(vecs)
-    vn = jnp.sum(v_j * v_j, axis=1)
-
-    labels = np.zeros(N, dtype=np.int32)
-    for _ in range(iters):
-        c_j = jnp.asarray(cents)
-        cn = jnp.sum(c_j * c_j, axis=1)
-        for s in range(0, N, _ASSIGN_CHUNK):
-            e = min(N, s + _ASSIGN_CHUNK)
-            labels[s:e] = np.asarray(
-                _assign(v_j[s:e], vn[s:e], c_j, cn, 0))
-        # centroid update (host; N x D pass)
-        sums = np.zeros((n_clusters, D), np.float64)
-        np.add.at(sums, labels, vecs)
-        counts = np.bincount(labels, minlength=n_clusters).astype(np.float64)
-        nonempty = counts > 0
-        cents[nonempty] = (sums[nonempty]
-                           / counts[nonempty, None]).astype(np.float32)
-    return labels
+    labels = _kmeans_device(jnp.asarray(vecs), jnp.asarray(vecs[idx0]),
+                            iters, min(_ASSIGN_CHUNK, max(N, 8)))
+    return np.asarray(labels)
 
 
 class BlockIndex:

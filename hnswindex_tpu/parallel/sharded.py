@@ -266,3 +266,66 @@ class ShardedIndex:
     @property
     def count(self) -> int:
         return int(np.asarray(jnp.sum(self._state.count)))
+
+    # ------------------------------------------------------------------
+
+    def serialize(self, path: str) -> None:
+        """Snapshot the sharded index (all shards) to one .npz."""
+        import dataclasses
+        import json
+        header = {
+            "dim": self.dim, "metric": self.metric,
+            "n_shards": self.n_shards,
+            "shard_capacity": self.shard_capacity,
+            "max_levels": int(self._cfg.max_levels),
+            "parameters": dataclasses.asdict(self.params),
+            "lengths": [int(x) for x in self._lengths],
+            "seeded": [bool(x) for x in self._seeded],
+        }
+        arrays = {f: np.asarray(getattr(self._state, f))
+                  for f in self._state._fields if f != "vlo"}
+        np.savez_compressed(
+            path,
+            header=np.frombuffer(json.dumps(header).encode(), np.uint8),
+            **arrays)
+
+    @classmethod
+    def deserialize(cls, path: str,
+                    devices: List[jax.Device] | None = None
+                    ) -> "ShardedIndex":
+        import json
+        with np.load(path) as z:
+            header = json.loads(bytes(z["header"]).decode())
+            arrays = {f: z[f] for f in z.files if f != "header"}
+        devices = devices or jax.devices()
+        S = header["n_shards"]
+        if len(devices) < S:
+            raise RuntimeError(
+                f"snapshot uses {S} shards but only {len(devices)} devices "
+                "are available")
+        params = HNSWParameters(**header["parameters"])
+        idx = cls(header["dim"], header["metric"], params,
+                  devices=list(devices)[:S])
+        # deserialize must land on the saved geometry
+        assert idx.shard_capacity == header["shard_capacity"], \
+            "collection_size/shard geometry mismatch"
+        vecs = jnp.asarray(arrays["vectors"])
+        state = idx._state
+        new_state = state.__class__(
+            vectors=vecs,
+            vlo=jnp.array(vecs, dtype=state.vlo.dtype, copy=True),
+            norms=jnp.asarray(arrays["norms"]),
+            level=jnp.asarray(arrays["level"]),
+            nbr=jnp.asarray(arrays["nbr"]),
+            deg=jnp.asarray(arrays["deg"]),
+            active=jnp.asarray(arrays["active"]),
+            ep=jnp.asarray(arrays["ep"]),
+            count=jnp.asarray(arrays["count"]),
+        )
+        shspec = jax.tree.map(
+            lambda x: NamedSharding(
+                idx.mesh, P("shard", *([None] * (x.ndim - 1)))), new_state)
+        idx._state = jax.tree.map(jax.device_put, new_state, shspec)
+        idx._lengths = np.asarray(header["lengths"], np.int64)
+        idx._seeded = np.asarray(header["seeded"], bool)
+        return idx

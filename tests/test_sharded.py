@@ -69,3 +69,24 @@ def test_sharded_matches_brute_force_topk():
         len(set(ids[i].tolist()) & set(bf_gids[i].tolist())) / 5
         for i in range(16)])
     assert overlap > 0.9, overlap
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_serialize_roundtrip(tmp_path):
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(11)
+    vecs = rng.random((200, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=256, max_wave_size=64)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+    path = str(tmp_path / "sharded.npz")
+    idx.serialize(path)
+    r = ShardedIndex.deserialize(path, devices=devices)
+    assert r.count == idx.count
+    a = idx.knn_query(vecs[:32], 5)
+    b = r.knn_query(vecs[:32], 5)
+    assert np.array_equal(a[0], b[0])
+    # restored index accepts more inserts
+    extra = rng.random((40, DIM), dtype=np.float32)
+    nid = r.add(extra)
+    assert r.count == 240
