@@ -279,6 +279,48 @@ class HNSWIndex:
         self._free.extend(int(x) for x in wave)
         self._count_host -= int(wave.size)
 
+    def update(self, ids, vecs) -> None:
+        """Replace stored vectors in place, keeping their ids (the public
+        form of the reference's GraphData.UpdateItem, GraphData.cs:133-140:
+        remove + reinsert into the same slots with fresh levels/edges)."""
+        arr = np.asarray(ids, dtype=np.int32).ravel()
+        a = _as_2d_f32(vecs, self.dim)
+        if arr.size != a.shape[0]:
+            raise ValueError("ids and vectors must have matching length")
+        if arr.size == 0:
+            return
+        if not self.params.allow_removals:
+            raise RuntimeError("update requires allow_removals=True")
+        self.remove(arr)
+        # reinsert into the exact same slots
+        for x in arr:
+            self._free.remove(int(x))
+        lvls = G.sample_levels(self._rng, arr.size,
+                               self.params.distribution_rate,
+                               self._cfg.max_levels)
+        i = 0
+        if self._count_host == 0:
+            self._state = G.seed_first_node(self._cfg, self._state,
+                                            int(arr[0]), a[0], int(lvls[0]))
+            self._count_host = 1
+            i = 1
+        while i < arr.size:
+            built = self._count_host
+            w = min(self.params.max_wave_size, max(1, built), arr.size - i)
+            b = _bucket(w, WAVE_BUCKETS)
+            wid = np.full(b, -1, dtype=np.int32)
+            wvec = np.zeros((b, self.dim), dtype=np.float32)
+            wlvl = np.zeros(b, dtype=np.int32)
+            valid = np.zeros(b, dtype=bool)
+            wid[:w] = arr[i:i + w]
+            wvec[:w] = a[i:i + w]
+            wlvl[:w] = lvls[i:i + w]
+            valid[:w] = True
+            with profiler.phase("update.wave"):
+                self._insert_wave(wid, wvec, wlvl, valid)
+            self._count_host += w
+            i += w
+
     # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------

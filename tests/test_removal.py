@@ -86,3 +86,28 @@ def test_remove_entry_point():
     rid = index.knn_query(vecs, 1)[0][:, 0]
     mask = ids != ep
     assert (rid[mask] == ids[mask]).mean() > 0.85
+
+
+def test_update_in_place():
+    """update(): replace vectors keeping their ids (GraphData.UpdateItem
+    made public)."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+    rng = np.random.default_rng(21)
+    vecs = rng.random((300, DIM), dtype=np.float32)
+    ix = HNSWIndex(DIM, parameters=HNSWParameters(collection_size=512))
+    ids = ix.add(vecs)
+
+    new_vals = rng.random((40, DIM), dtype=np.float32)
+    ix.update(ids[:40], new_vals)
+    assert ix.count == 300
+
+    # updated ids now answer for their new vectors
+    rid = ix.knn_query(new_vals, 1)[0][:, 0]
+    assert (rid == ids[:40]).mean() > 0.85
+    # old content no longer returned for far-away queries of old vectors
+    stored = ix.items()
+    sid = ix.ids()
+    by_id = dict(zip(sid.tolist(), range(len(sid))))
+    for j in range(0, 40, 7):
+        assert np.allclose(stored[by_id[int(ids[j])]], new_vals[j])
