@@ -196,3 +196,51 @@ def clear_removed_rows(cfg: GraphConfig, state: GraphState, rem_ids, layer):
         jnp.full((rem_ids.shape[0], K), -1, jnp.int32), mode="drop")
     deg = state.deg.at[layer, rowd].set(0, mode="drop")
     return state._replace(nbr=nbr, deg=deg)
+
+
+def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
+                      remove_ef: int, remove_buckets=(1, 16, 64),
+                      affected_chunk: int = 256):
+    """Host-driven removal of ``arr`` (numpy int32 ids) from a GraphState.
+
+    The engine core of HNSWIndex.remove, reusable for per-shard removal in
+    the sharded index.  Returns the new state; callers own free-list /
+    count bookkeeping."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.int32).ravel()
+    if arr.size == 0:
+        return state
+    lvl = np.asarray(state.level)
+    max_iters = cfg.search_iter_factor * remove_ef + 16
+
+    def bucket(n):
+        for b in remove_buckets:
+            if n <= b:
+                return b
+        return remove_buckets[-1]
+
+    for start in range(0, arr.size, remove_buckets[-1]):
+        wave = arr[start:start + remove_buckets[-1]]
+        b = bucket(wave.size)
+        rem = np.full(b, -1, dtype=np.int32)
+        rem[:wave.size] = wave
+        rem_j = jnp.asarray(rem)
+
+        state = mark_removed(cfg, state, rem_j)
+        top = int(lvl[wave].max())
+        aff_all = np.asarray(affected_masks_all(cfg, state, rem_j))
+        for l in range(top, -1, -1):
+            layer = jnp.asarray(l, jnp.int32)
+            scand = repair_candidates(cfg, state, rem_j, layer, remove_ef,
+                                      max_iters)
+            aff = np.flatnonzero(aff_all[l])
+            max_deg = cfg.max_degree(l == 0)
+            for cstart in range(0, aff.size, affected_chunk):
+                chunk = aff[cstart:cstart + affected_chunk]
+                cpad = np.full(affected_chunk, -1, dtype=np.int32)
+                cpad[:chunk.size] = chunk
+                state = repair_chunk(cfg, state, jnp.asarray(cpad), rem_j,
+                                     scand, layer, max_deg, remove_ef)
+        state = clear_removed_rows_all(cfg, state, rem_j)
+    return state

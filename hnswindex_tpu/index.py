@@ -239,45 +239,14 @@ class HNSWIndex:
         arr = arr[active[arr]]
         if arr.size == 0:
             return
-        lvl = np.asarray(self._state.level)
-        cfg = self._cfg
-        efR = self.params.remove_max_candidates
-        max_iters = cfg.search_iter_factor * efR + 16
-
-        for start in range(0, arr.size, REMOVE_BUCKETS[-1]):
-            wave = arr[start:start + REMOVE_BUCKETS[-1]]
-            b = _bucket(wave.size, REMOVE_BUCKETS)
-            rem = np.full(b, -1, dtype=np.int32)
-            rem[:wave.size] = wave
-            rem_j = jnp.asarray(rem)
-
-            with profiler.phase("remove.wave"):
-                self._remove_wave(cfg, rem_j, wave, lvl, efR, max_iters)
+        with profiler.phase("remove"):
+            self._state = R.remove_from_state(
+                self._cfg, self._state, arr,
+                self.params.remove_max_candidates, REMOVE_BUCKETS,
+                AFFECTED_CHUNK)
+        self._free.extend(int(x) for x in arr)
+        self._count_host -= int(arr.size)
         return
-
-    def _remove_wave(self, cfg, rem_j, wave, lvl, efR, max_iters):
-        self._state = R.mark_removed(cfg, self._state, rem_j)
-        top = int(lvl[wave].max())
-        # one readback serves every layer (edges into removed nodes are
-        # never added during repair)
-        aff_all = np.asarray(
-            R.affected_masks_all(cfg, self._state, rem_j))
-        for l in range(top, -1, -1):
-            layer = jnp.asarray(l, jnp.int32)
-            scand = R.repair_candidates(cfg, self._state, rem_j, layer,
-                                        efR, max_iters)
-            aff = np.flatnonzero(aff_all[l])
-            max_deg = cfg.max_degree(l == 0)
-            for cstart in range(0, aff.size, AFFECTED_CHUNK):
-                chunk = aff[cstart:cstart + AFFECTED_CHUNK]
-                cpad = np.full(AFFECTED_CHUNK, -1, dtype=np.int32)
-                cpad[:chunk.size] = chunk
-                self._state = R.repair_chunk(
-                    cfg, self._state, jnp.asarray(cpad), rem_j, scand,
-                    layer, max_deg, efR)
-        self._state = R.clear_removed_rows_all(cfg, self._state, rem_j)
-        self._free.extend(int(x) for x in wave)
-        self._count_host -= int(wave.size)
 
     def update(self, ids, vecs) -> None:
         """Replace stored vectors in place, keeping their ids (the public

@@ -263,6 +263,35 @@ class ShardedIndex:
         d = np.where(i >= 0, d, np.nan).astype(np.float32)
         return i.astype(np.int32), d
 
+    def remove(self, gids) -> None:
+        """Remove by global id with per-shard graph repair.
+
+        Shard subgraphs are independent, so removal routes each id to its
+        owning shard (gid // shard_capacity) and runs the standard repair
+        driver on that shard's slice.  Freed slots are not currently
+        recycled by the sharded allocator (append-only slots per shard).
+        """
+        if not self.params.allow_removals:
+            raise RuntimeError("Removals are disabled in this index "
+                               "instance.")
+        from ..core.remove import remove_from_state
+        arr = np.asarray(gids, dtype=np.int64).ravel()
+        if arr.size == 0:
+            return
+        C = self.shard_capacity
+        shard_of = arr // C
+        local_of = (arr % C).astype(np.int32)
+        for s in np.unique(shard_of):
+            mine = local_of[shard_of == s]
+            local = _squeeze(jax.tree.map(
+                lambda x: x[int(s):int(s) + 1], self._state))
+            local = remove_from_state(
+                self._cfg, local, mine,
+                self.params.remove_max_candidates)
+            self._state = jax.tree.map(
+                lambda full, one: full.at[int(s)].set(one), self._state,
+                local)
+
     @property
     def count(self) -> int:
         return int(np.asarray(jnp.sum(self._state.count)))

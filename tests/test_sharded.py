@@ -90,3 +90,18 @@ def test_sharded_serialize_roundtrip(tmp_path):
     extra = rng.random((40, DIM), dtype=np.float32)
     nid = r.add(extra)
     assert r.count == 240
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_remove():
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(17)
+    vecs = rng.random((240, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=256, max_wave_size=64)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+    idx.remove(gids[:120])
+    assert idx.count == 120
+    ids, _ = idx.knn_query(vecs[120:], 1)
+    assert (ids[:, 0] == gids[120:]).mean() > 0.85
+    assert not np.isin(ids[ids >= 0], gids[:120]).any()
