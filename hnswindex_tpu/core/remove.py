@@ -117,19 +117,6 @@ def clear_removed_rows_all(cfg: GraphConfig, state: GraphState, rem_ids):
     return state._replace(nbr=nbr, deg=deg)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def affected_mask(cfg: GraphConfig, state: GraphState, rem_ids, layer):
-    """Active nodes holding an out-edge into the removal wave at ``layer``
-    — the exact in-neighbor set the reference reads from Node.InEdges
-    (GraphConnector.cs:95), recovered by a vectorized table scan."""
-    C = state.capacity
-    rmask = _removed_mask(state, rem_ids)
-    nbr_l = lax.dynamic_index_in_dim(state.nbr, jnp.asarray(layer, jnp.int32),
-                                     axis=0, keepdims=False)
-    hit = (nbr_l >= 0) & rmask[jnp.clip(nbr_l, 0, C - 1)]
-    return jnp.any(hit, axis=1) & state.active
-
-
 @partial(jax.jit, static_argnames=("cfg", "max_deg", "remove_ef"),
          donate_argnames=("state",))
 def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
@@ -180,21 +167,6 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
     rowd = jnp.where(ok, chunk_ids, C)
     nbr = state.nbr.at[layer, rowd].set(selpad, mode="drop")
     deg = state.deg.at[layer, rowd].set(cnt, mode="drop")
-    return state._replace(nbr=nbr, deg=deg)
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def clear_removed_rows(cfg: GraphConfig, state: GraphState, rem_ids, layer):
-    """Erase the removed nodes' own out-edges at ``layer`` (the reference's
-    DetachOutgoingReferences + final node teardown,
-    GraphConnector.cs:277-288)."""
-    C = state.capacity
-    K = state.nbr.shape[2]
-    layer = jnp.asarray(layer, jnp.int32)
-    rowd = jnp.where(rem_ids >= 0, rem_ids, C)
-    nbr = state.nbr.at[layer, rowd].set(
-        jnp.full((rem_ids.shape[0], K), -1, jnp.int32), mode="drop")
-    deg = state.deg.at[layer, rowd].set(0, mode="drop")
     return state._replace(nbr=nbr, deg=deg)
 
 
