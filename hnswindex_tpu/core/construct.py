@@ -103,9 +103,18 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     K = nbr.shape[2]
     layer = jnp.asarray(layer, jnp.int32)
 
+    nbr_l0 = lax.dynamic_index_in_dim(nbr, layer, 0, keepdims=False)  # (C,K)
+
     u = jnp.repeat(src_ids.astype(jnp.int32), Ms)
     v = sel.reshape(P)
     pv = (v >= 0) & jnp.repeat(mask, Ms)
+    # Drop arrivals already present in the target's row: when two wave
+    # members select each other, the forward-row writes (which happen
+    # before this scatter) already stored both directions, and appending
+    # the back-edge again would duplicate it (reference rows are sets —
+    # EdgeList.Add is guarded by the selection logic, Node.cs:66-76).
+    already = jnp.any(nbr_l0[jnp.clip(v, 0, C - 1)] == u[:, None], axis=1)
+    pv = pv & ~already
     key = jnp.where(pv, v, C)                     # invalid -> sort to tail
     order = jnp.argsort(key, stable=True)
     sv = key[order]
@@ -118,7 +127,7 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     rank = ar - gstart
     svc = jnp.clip(sv, 0, C - 1)
 
-    nbr_l = lax.dynamic_index_in_dim(nbr, layer, 0, keepdims=False)  # (C,K)
+    nbr_l = nbr_l0
     deg_l = lax.dynamic_index_in_dim(deg, layer, 0, keepdims=False)  # (C,)
 
     olddeg = jnp.where(spv, deg_l[svc], 0)

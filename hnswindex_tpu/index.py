@@ -236,7 +236,8 @@ class HNSWIndex:
             return
         active = np.asarray(self._state.active)
         arr = arr[(arr >= 0) & (arr < active.shape[0])]
-        arr = arr[active[arr]]
+        arr = np.unique(arr[active[arr]])  # dedupe: remove([x, x]) must
+        # free slot x once, not twice
         if arr.size == 0:
             return
         with profiler.phase("remove"):
@@ -260,10 +261,17 @@ class HNSWIndex:
             return
         if not self.params.allow_removals:
             raise RuntimeError("update requires allow_removals=True")
+        # validate before mutating: every id must be a distinct live node
+        if np.unique(arr).size != arr.size:
+            raise ValueError("update ids must be unique")
+        active = np.asarray(self._state.active)
+        bad = (arr < 0) | (arr >= active.shape[0])
+        if bad.any() or not active[arr].all():
+            raise ValueError("update ids must all be active")
         self.remove(arr)
         # reinsert into the exact same slots
-        for x in arr:
-            self._free.remove(int(x))
+        freed = {int(x) for x in arr}
+        self._free = [x for x in self._free if x not in freed]
         lvls = G.sample_levels(self._rng, arr.size,
                                self.params.distribution_rate,
                                self._cfg.max_levels)

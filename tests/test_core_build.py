@@ -81,6 +81,37 @@ def test_degree_caps_and_padding_invariant():
             assert len(set(row[:d].tolist())) == d
 
 
+@pytest.mark.parametrize("path", ["exact", "beam"])
+def test_facade_build_row_invariants(path):
+    """Every row of a facade-built graph (both candidate paths) is
+    dup-free, self-loop-free, -1-padded — the invariant the reference's
+    EdgeList selection logic guarantees implicitly."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 24
+    vecs = rng.random((n, dim), dtype=np.float32)
+    p = HNSWParameters(collection_size=n, max_edges=8, max_candidates=40)
+    if path == "beam":
+        p.exact_build_threshold = 0
+    idx = HNSWIndex(dim, parameters=p)
+    idx.add(vecs)
+
+    nbr = np.asarray(idx._state.nbr)
+    deg = np.asarray(idx._state.deg)
+    lvl = np.asarray(idx._state.level)
+    for l in range(nbr.shape[0]):
+        cap = 2 * 8 if l == 0 else 8
+        for u in np.nonzero(lvl >= l)[0]:
+            d = deg[l, u]
+            row = nbr[l, u]
+            assert d <= cap
+            assert np.all(row[d:] == -1)
+            assert np.all(row[:d] >= 0)
+            assert u not in row[:d]
+            assert len(set(row[:d].tolist())) == d, (l, u, row[:d])
+
+
 def test_entry_point_is_max_level():
     rng = np.random.default_rng(11)
     n, dim = 300, 8

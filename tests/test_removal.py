@@ -88,6 +88,41 @@ def test_remove_entry_point():
     assert (rid[mask] == ids[mask]).mean() > 0.85
 
 
+def test_remove_duplicate_ids_freed_once():
+    """remove([x, x]) must free slot x once and decrement count once."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+    rng = np.random.default_rng(13)
+    vecs = rng.random((60, DIM), dtype=np.float32)
+    ix = HNSWIndex(DIM, parameters=HNSWParameters(collection_size=64))
+    ix.add(vecs)
+    ix.remove([5, 5, 5, 7])
+    assert ix.count == 58
+    assert sorted(ix._free) == [5, 7]
+    new_ids = ix.add(rng.random((2, DIM), dtype=np.float32))
+    assert len(set(new_ids.tolist())) == 2
+    assert set(new_ids.tolist()) == {5, 7}
+
+
+def test_update_validates_ids():
+    """update() must reject duplicate/inactive ids before mutating."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+    rng = np.random.default_rng(17)
+    vecs = rng.random((50, DIM), dtype=np.float32)
+    ix = HNSWIndex(DIM, parameters=HNSWParameters(collection_size=64))
+    ids = ix.add(vecs)
+    v = rng.random((2, DIM), dtype=np.float32)
+    with pytest.raises(ValueError):
+        ix.update([3, 3], v)
+    with pytest.raises(ValueError):
+        ix.update([3, 4096], v)
+    ix.remove([ids[9]])
+    with pytest.raises(ValueError):
+        ix.update([3, int(ids[9])], v)
+    assert ix.count == 49
+
+
 def test_update_in_place():
     """update(): replace vectors keeping their ids (GraphData.UpdateItem
     made public)."""
