@@ -5,23 +5,28 @@ TPU-native replacement for the reference's deletion path
 removes one node at a time under a neighborhood region lock; the TPU build
 removes a *wave* of nodes functionally:
 
-1. mark the wave inactive and fix the entry point
-   (ReplaceEntryPointIfNeeded, GraphConnector.cs:72-85 — we always use the
-   ForceReplaceEntryPoint strategy of promoting the highest-level active
-   node, GraphData.cs:172-189);
+1. mark the wave inactive and fix the entry point: if the entry point is
+   removed, promote its most-connected surviving neighbor at its top layer
+   (TryReplaceEntryPoint, GraphData.cs:146-166); if it has none, fall back
+   to the highest-level active node (ForceReplaceEntryPoint,
+   GraphData.cs:172-189);
 2. per layer, top to bottom (GraphConnector.cs:59):
-   a. beam-search ``remove_max_candidates`` repair candidates around every
-      removed node that lives on the layer, excluding removed nodes from
-      results (GraphConnector.cs:96 + the IsRemoved link guard at :152-155);
-   b. find every *affected* node — an active node with an out-edge into the
-      wave.  The reference walks the removed node's maintained in-edge
-      lists (Node.InEdges); the TPU build keeps no in-edge storage and
-      instead recovers in-neighbors exactly with one vectorized membership
-      scan over the layer's out-edge table;
+   a. collect ``remove_max_candidates`` repair candidates around every
+      removed node that lives on the layer, with removed nodes excluded
+      (GraphConnector.cs:96 + the IsRemoved link guard at :152-155).
+      Below the exact-build threshold this is one masked MXU brute-force
+      scan per layer — the exact version of the reference's beam — and a
+      graph beam search beyond it;
+   b. find every *affected* node — an active node with an out-edge into
+      the wave.  The reference walks maintained in-edge lists
+      (Node.InEdges); the TPU build keeps no in-edge storage and instead
+      recovers in-neighbors exactly with one vectorized membership scan
+      over the layer's out-edge table;
    c. for each affected node: candidate set = (surviving old neighbors) ∪
-      (repair candidates of its first removed neighbor), deduplicated
-      (GraphConnector.cs:113-129), re-pruned with the heuristic to the
-      layer cap (GraphConnector.cs:131) and written back;
+      (repair candidates of *each* of its removed neighbors — the
+      reference unions across every removed in-edge it repairs,
+      GraphConnector.cs:100-131), deduplicated, re-pruned with the
+      heuristic to the layer cap (GraphConnector.cs:131) and written back;
    d. clear the removed nodes' own rows at this layer.
 
 Affected nodes are processed in fixed-size chunks driven by the host (their
@@ -43,6 +48,15 @@ from .search import beam_search
 
 _INF = jnp.inf
 
+#: Per affected node, union repair candidates of up to this many of its
+#: removed neighbors (covers the reference's per-in-edge union for all but
+#: pathological rows where most of a node's edges died in one wave).
+REPAIR_FANIN = 4
+
+#: Columns of each removed node's candidate list entering the union (the
+#: nearest ones; bounds the heuristic-prune width at K + FANIN * SPAN).
+REPAIR_SPAN = 48
+
 
 def _removed_mask(state: GraphState, rem_ids):
     C = state.capacity
@@ -55,19 +69,37 @@ def mark_removed(cfg: GraphConfig, state: GraphState, rem_ids):
     """Deactivate a removal wave and fix the entry point / count.
 
     Mirrors the IsRemoved flagging (GraphConnector.cs:55-57) plus entry
-    point replacement (GraphConnector.cs:72-85): if the entry point is
-    removed, the highest-level surviving active node takes over; an empty
-    graph gets ep = -1 (GraphConnector.cs:78-81)."""
+    point replacement: the removed EP's most-connected surviving neighbor
+    at its top layer takes over (GraphData.cs:146-166); with no surviving
+    neighbor there, the highest-level active node does
+    (GraphData.cs:172-189); an empty graph gets ep = -1."""
+    C = state.capacity
+    L = state.num_levels
     rmask = _removed_mask(state, rem_ids)
     n_rem = jnp.sum(rmask & state.active, dtype=jnp.int32)
     active = state.active & ~rmask
     count = state.count - n_rem
 
     ep = state.ep
-    ep_removed = (ep >= 0) & rmask[jnp.clip(ep, 0, None)]
+    epc = jnp.clip(ep, 0, C - 1)
+    ep_removed = (ep >= 0) & rmask[epc]
+
+    # TryReplaceEntryPoint: most out-connected surviving neighbor at the
+    # EP's top layer
+    ep_lvl = jnp.clip(state.level[epc], 0, L - 1)
+    row = state.nbr[ep_lvl, epc]                      # (K,)
+    rowc = jnp.clip(row, 0, C - 1)
+    surv = (row >= 0) & active[rowc]
+    score = jnp.where(surv, state.deg[ep_lvl, rowc], -1)
+    nb_best = row[jnp.argmax(score)]
+    has_nb = jnp.any(surv)
+
+    # ForceReplaceEntryPoint: highest-level active node
     lv_eff = jnp.where(active, state.level, -1)
-    best = jnp.argmax(lv_eff).astype(jnp.int32)
-    new_ep = jnp.where(count > 0, best, -1).astype(jnp.int32)
+    scan_best = jnp.argmax(lv_eff).astype(jnp.int32)
+
+    new_ep = jnp.where(has_nb, nb_best, scan_best).astype(jnp.int32)
+    new_ep = jnp.where(count > 0, new_ep, -1)
     ep = jnp.where(ep_removed, new_ep, ep)
     return state._replace(active=active, ep=ep, count=count)
 
@@ -88,6 +120,23 @@ def repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids, layer,
                          remove_ef, max_iters, filtered=True,
                          filter_mask=~rmask)
     return ids
+
+
+@partial(jax.jit, static_argnames=("cfg", "remove_ef"))
+def exact_repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids,
+                            layer, remove_ef: int):
+    """Exact repair candidates: one masked MXU scan of the layer's
+    population per removed node (the exact form of the reference's beam at
+    GraphConnector.cs:96; the wave is already inactive so removed nodes
+    exclude themselves).  Returns (R, remove_ef) ids."""
+    from ..ops.bruteforce import exact_knn
+
+    C = state.capacity
+    q = state.vectors[jnp.clip(rem_ids, 0, C - 1)]
+    allowed = state.active & (state.level >= layer)
+    _, ids = exact_knn(cfg.metric, state.vlo, state.norms, allowed, q,
+                       remove_ef)
+    return jnp.where(rem_ids[:, None] >= 0, ids, -1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -117,16 +166,17 @@ def clear_removed_rows_all(cfg: GraphConfig, state: GraphState, rem_ids):
     return state._replace(nbr=nbr, deg=deg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_deg", "remove_ef"),
+@partial(jax.jit, static_argnames=("cfg", "max_deg"),
          donate_argnames=("state",))
 def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
-                 scand, layer, max_deg: int, remove_ef: int):
+                 scand, layer, max_deg: int):
     """Re-select edges for a chunk of affected nodes at ``layer``.
 
     ``chunk_ids (B,)`` affected nodes (-1 pad); ``rem_ids (R,)`` the removal
-    wave; ``scand (R, remove_ef)`` their repair candidates.  Candidate set
-    per node = surviving old neighbors ∪ repair candidates of its first
-    removed neighbor, deduplicated and excluding itself / removed nodes
+    wave; ``scand (R, E)`` their repair candidates.  Candidate set per node
+    = surviving old neighbors ∪ repair candidates of each of its removed
+    neighbors (up to REPAIR_FANIN of them, REPAIR_SPAN candidates each),
+    deduplicated and excluding itself / removed nodes
     (GraphConnector.cs:100-131)."""
     B = chunk_ids.shape[0]
     C = state.capacity
@@ -136,7 +186,8 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
     # position of each removed id in the wave, for scand lookup
     R = rem_ids.shape[0]
     rpos = jnp.zeros((C + 1,), jnp.int32).at[
-        jnp.where(rem_ids >= 0, rem_ids, C)].set(jnp.arange(R, dtype=jnp.int32))
+        jnp.where(rem_ids >= 0, rem_ids, C)].set(
+            jnp.arange(R, dtype=jnp.int32))
 
     ok = chunk_ids >= 0
     uc = jnp.clip(chunk_ids, 0, C - 1)
@@ -147,17 +198,31 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
     old_removed = old_valid & rmask[oldc]
     surviving = old_valid & ~old_removed
 
-    first_r = old[jnp.arange(B), jnp.argmax(old_removed, axis=1)]
-    has_r = jnp.any(old_removed, axis=1)
-    srow = scand[rpos[jnp.clip(first_r, 0, C)]]          # (B, remove_ef)
-    # dedupe repair candidates against surviving old neighbors and self
-    sr_valid = (srow >= 0) & has_r[:, None] & ok[:, None]
-    dup = jnp.any(
-        (srow[:, :, None] == jnp.where(surviving, old, -2)[:, None, :]),
+    # up to REPAIR_FANIN removed neighbors per row, their candidate spans
+    T = min(REPAIR_FANIN, K)
+    E = min(REPAIR_SPAN, scand.shape[1])
+    slot_rank = jnp.argsort(~old_removed, axis=1, stable=True)[:, :T]
+    vids = jnp.take_along_axis(old, slot_rank, axis=1)           # (B, T)
+    v_ok = jnp.take_along_axis(old_removed, slot_rank, axis=1)
+    srow = scand[rpos[jnp.clip(vids, 0, C)]][:, :, :E]           # (B, T, E)
+    srow = jnp.where(v_ok[:, :, None], srow, -1).reshape(B, T * E)
+
+    # dedupe: against surviving old neighbors, self, removed, and within
+    # the union (first occurrence wins)
+    sr_valid = (srow >= 0) & ok[:, None]
+    dup_old = jnp.any(
+        srow[:, :, None] == jnp.where(surviving, old, -2)[:, None, :],
         axis=2)
     self_hit = srow == chunk_ids[:, None]
     removed_hit = rmask[jnp.clip(srow, 0, C - 1)]
-    sr_valid = sr_valid & ~dup & ~self_hit & ~removed_hit
+    key = jnp.where(sr_valid, srow, -1)
+    order = jnp.argsort(key, axis=1, stable=True)
+    skey = jnp.take_along_axis(key, order, axis=1)
+    sdup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), skey[:, 1:] == skey[:, :-1]], axis=1)
+    dup_self = jnp.zeros_like(sdup).at[
+        jnp.arange(B)[:, None], order].set(sdup)
+    sr_valid = sr_valid & ~dup_old & ~self_hit & ~removed_hit & ~dup_self
 
     cand = jnp.concatenate([jnp.where(surviving, old, -1),
                             jnp.where(sr_valid, srow, -1)], axis=1)
@@ -171,18 +236,25 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
 
 
 def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
-                      remove_ef: int, remove_buckets=(1, 16, 64),
-                      affected_chunk: int = 256):
+                      remove_ef: int, remove_buckets=(1, 64, 512),
+                      affected_chunk: int = 1024,
+                      exact_candidates: bool | None = None):
     """Host-driven removal of ``arr`` (numpy int32 ids) from a GraphState.
 
     The engine core of HNSWIndex.remove, reusable for per-shard removal in
     the sharded index.  Returns the new state; callers own free-list /
-    count bookkeeping."""
+    count bookkeeping.  ``exact_candidates`` selects MXU brute-force repair
+    candidates (defaults to on for built-in metrics — exact and cheaper
+    than per-node beams at any corpus the exact build path also serves)."""
     import numpy as np
+
+    from ..ops import distance as dst
 
     arr = np.asarray(arr, dtype=np.int32).ravel()
     if arr.size == 0:
         return state
+    if exact_candidates is None:
+        exact_candidates = not dst.is_custom(cfg.metric)
     lvl = np.asarray(state.level)
     max_iters = cfg.search_iter_factor * remove_ef + 16
 
@@ -204,8 +276,12 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
         aff_all = np.asarray(affected_masks_all(cfg, state, rem_j))
         for l in range(top, -1, -1):
             layer = jnp.asarray(l, jnp.int32)
-            scand = repair_candidates(cfg, state, rem_j, layer, remove_ef,
-                                      max_iters)
+            if exact_candidates:
+                scand = exact_repair_candidates(cfg, state, rem_j, layer,
+                                                remove_ef)
+            else:
+                scand = repair_candidates(cfg, state, rem_j, layer,
+                                          remove_ef, max_iters)
             aff = np.flatnonzero(aff_all[l])
             max_deg = cfg.max_degree(l == 0)
             for cstart in range(0, aff.size, affected_chunk):
@@ -213,6 +289,6 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
                 cpad = np.full(affected_chunk, -1, dtype=np.int32)
                 cpad[:chunk.size] = chunk
                 state = repair_chunk(cfg, state, jnp.asarray(cpad), rem_j,
-                                     scand, layer, max_deg, remove_ef)
+                                     scand, layer, max_deg)
         state = clear_removed_rows_all(cfg, state, rem_j)
     return state

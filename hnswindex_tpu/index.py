@@ -55,13 +55,12 @@ def resolve_rank_dtype(pref: str) -> str:
 WAVE_BUCKETS = (1, 8, 64, 512)
 UPPER_BUCKETS = (1, 8, 64, 512)
 QUERY_BUCKETS = (1, 16, 128, 1024)
-# Removal waves stay small: each affected node is repaired with candidates
-# from (one of) its removed neighbors, so large waves degrade repair
-# quality for nodes that lost many edges at once.  64 keeps the expected
-# removed-neighbor count per affected node near 1 (the reference repairs
-# strictly one removal at a time, GraphConnector.cs:53-66).
-REMOVE_BUCKETS = (1, 16, 64)
-AFFECTED_CHUNK = 256
+# Removal waves: each affected node repairs against the union of
+# candidates from (up to REPAIR_FANIN of) its removed neighbors — the
+# reference's per-in-edge union semantics (GraphConnector.cs:100-131) —
+# so large waves keep repair quality and amortize per-wave dispatches.
+REMOVE_BUCKETS = (1, 64, 512)
+AFFECTED_CHUNK = 1024
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -115,10 +114,17 @@ class HNSWIndex:
         # host mirror of state.count: wave scheduling must not pay a device
         # round-trip per wave
         self._count_host = 0
+        # lazily-built caches, dropped on any mutation
+        self._pack = None            # core/pack.QueryPack for layer-0 serve
+        self._host_vectors: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     # construction
     # ------------------------------------------------------------------
+
+    def _invalidate_caches(self) -> None:
+        self._pack = None
+        self._host_vectors = None
 
     def _grow_to(self, needed: int) -> None:
         C = self._state.capacity
@@ -150,6 +156,7 @@ class HNSWIndex:
         n = a.shape[0]
         if n == 0:
             return np.empty(0, dtype=np.int32)
+        self._invalidate_caches()
         lvls = G.sample_levels(self._rng, n, self.params.distribution_rate,
                                self._cfg.max_levels)
         ids = self._alloc_slots(n)
@@ -240,6 +247,7 @@ class HNSWIndex:
         # free slot x once, not twice
         if arr.size == 0:
             return
+        self._invalidate_caches()
         with profiler.phase("remove"):
             self._state = R.remove_from_state(
                 self._cfg, self._state, arr,
@@ -269,6 +277,7 @@ class HNSWIndex:
         if bad.any() or not active[arr].all():
             raise ValueError("update ids must all be active")
         self.remove(arr)
+        self._invalidate_caches()
         # reinsert into the exact same slots
         freed = {int(x) for x in arr}
         self._free = [x for x in self._free if x not in freed]
@@ -302,6 +311,54 @@ class HNSWIndex:
     # queries
     # ------------------------------------------------------------------
 
+    def _host_vecs(self) -> np.ndarray:
+        """Host mirror of the stored vectors (cached: refinement must not
+        pay a full corpus device->host transfer per query batch)."""
+        if self._host_vectors is None:
+            self._host_vectors = np.asarray(self._state.vectors)
+        return self._host_vectors
+
+    def _get_pack(self):
+        """Lazily build the packed-neighborhood tables (core/pack.py) when
+        enabled and affordable; None means 'serve unpacked'."""
+        mode = self.params.pack_queries
+        if mode == "off" or dst.is_custom(self.metric):
+            return None
+        if mode == "auto" and self._count_host < self.params.pack_min_count:
+            return None
+        if self._pack is not None:
+            return self._pack
+        from .core import pack as PK
+        C = self._state.capacity
+        K = self._state.nbr.shape[2]
+        if PK.pack_bytes(C, K, self.dim) > self.params.pack_max_bytes:
+            return None
+        # entry set = the smallest upper level whose population fits the
+        # flat MXU scan (the pack's replacement for greedy descent walks
+        # the upper hierarchy exactly)
+        lvl = np.asarray(self._state.level)
+        act = np.asarray(self._state.active)
+        eids = None
+        for layer in range(1, self._state.num_levels):
+            members = np.flatnonzero((lvl >= layer) & act)
+            if members.size <= PK.ENTRY_SCAN_MAX:
+                eids = members
+                break
+        if eids is None or eids.size == 0:
+            # tiny corpus entirely at level 0 (or a monster at every
+            # level): enter from the global entry point alone
+            ep = int(np.asarray(self._state.ep))
+            if ep < 0:
+                return None
+            eids = np.asarray([ep])
+        S = 1 << max(0, int(eids.size - 1).bit_length())
+        padded = np.full(S, -1, np.int64)
+        padded[:eids.size] = eids
+        with profiler.phase("pack.build"):
+            self._pack = PK.make_query_pack(
+                self._cfg, self._state, jnp.asarray(padded, jnp.int32))
+        return self._pack
+
     def _build_filter_mask(self, filter_fnc) -> Optional[jnp.ndarray]:
         if filter_fnc is None:
             return None
@@ -310,7 +367,7 @@ class HNSWIndex:
             # reference filter signature: predicate over the stored vector
             # (HNSWIndex.cs:111-113)
             active = np.asarray(self._state.active)
-            vectors = np.asarray(self._state.vectors)
+            vectors = self._host_vecs()
             mask = np.zeros(C, dtype=bool)
             for i in np.flatnonzero(active):
                 mask[i] = bool(filter_fnc(vectors[i]))
@@ -327,7 +384,7 @@ class HNSWIndex:
         """Recompute returned distances in float64 and re-sort each row."""
         B = q.shape[0]
         idc = np.clip(ids, 0, self._state.capacity - 1)
-        vecs = np.asarray(self._state.vectors)[idc].astype(np.float64)
+        vecs = self._host_vecs()[idc].astype(np.float64)
         qq = q.astype(np.float64)[:, None, :]
         if dst.is_custom(self.metric):
             d = np.asarray(dst.exact(self.metric,
@@ -376,6 +433,7 @@ class HNSWIndex:
         expand = max(1, self.params.query_expand)
         max_iters = (self._cfg.search_iter_factor * ef) // expand + 16
         fmask = self._build_filter_mask(filter_fnc)
+        pk = self._get_pack() if layer == 0 else None
 
         out_ids = np.empty((n, k), np.int32)
         out_d = np.empty((n, k), np.float32)
@@ -386,11 +444,18 @@ class HNSWIndex:
             qpad = np.zeros((b, self.dim), np.float32)
             qpad[:w] = q[i:i + w]
             with profiler.phase("query.batch"):
-                _, ids = knn_search(
-                    self._cfg, self._state, jnp.asarray(qpad),
-                    jnp.asarray(layer, jnp.int32), ef, max_iters,
-                    filtered=fmask is not None, filter_mask=fmask,
-                    expand=expand)
+                if pk is not None:
+                    from .core.pack import packed_knn_search
+                    _, ids = packed_knn_search(
+                        self._cfg, pk, jnp.asarray(qpad), ef, max_iters,
+                        filtered=fmask is not None, filter_mask=fmask,
+                        expand=expand, n_entry=min(8, ef))
+                else:
+                    _, ids = knn_search(
+                        self._cfg, self._state, jnp.asarray(qpad),
+                        jnp.asarray(layer, jnp.int32), ef, max_iters,
+                        filtered=fmask is not None, filter_mask=fmask,
+                        expand=expand)
                 ids_np = np.asarray(ids)[:w]
             out_ids[i:i + w], out_d[i:i + w] = self._refine(
                 q[i:i + w], ids_np, k)
@@ -435,7 +500,7 @@ class HNSWIndex:
         from .results import KNNResult
         ids, dists = self.knn_query(query, k, filter_fnc=filter_fnc,
                                     layer=layer)
-        vectors = np.asarray(self._state.vectors)
+        vectors = self._host_vecs()
         out = []
         for i, d in zip(ids[0], dists[0]):
             if i < 0:
@@ -588,6 +653,8 @@ class HNSWIndex:
         idx._free = free
         idx._length = header["length"]
         idx._count_host = header["count"]
+        idx._pack = None
+        idx._host_vectors = None
         return idx
 
     @classmethod
@@ -641,7 +708,7 @@ class HNSWIndex:
 
     def items(self) -> np.ndarray:
         """Active stored vectors (HNSWIndex.cs:234-237)."""
-        return np.asarray(self._state.vectors)[self.ids()]
+        return self._host_vecs()[self.ids()]
 
     def ids(self) -> np.ndarray:
         """Active ids (HNSWIndex.cs:242-245)."""

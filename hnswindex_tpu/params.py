@@ -86,6 +86,22 @@ class HNSWParameters:
     #: (O(log N) per insert).
     exact_build_threshold: int = 1 << 22
 
+    #: Packed-neighborhood serving for layer-0 graph queries
+    #: (core/pack.py): "auto" builds the pack lazily once the corpus is
+    #: large enough for the build to amortize; "on" forces it; "off"
+    #: disables it.  The pack trades HBM (K neighbor vectors per node) for
+    #: expansion fetches that ride at HBM bandwidth instead of the
+    #: row-gather issue ceiling.
+    pack_queries: str = "auto"
+
+    #: HBM budget for the query pack.  The pack dtype auto-selects the
+    #: widest of float32/bfloat16 that fits; if neither fits, packed
+    #: serving is skipped.
+    pack_max_bytes: int = 9 << 30
+
+    #: Corpus size at which "auto" packed serving switches on.
+    pack_min_count: int = 32768
+
     #: Ranking-table dtype for graph traversal: "float32" (default; exact
     #: at search precision) or "bfloat16" (halves traversal gather bytes,
     #: but its ~0.4% dot noise caps recall on corpora with tight clusters

@@ -88,6 +88,30 @@ def test_remove_entry_point():
     assert (rid[mask] == ids[mask]).mean() > 0.85
 
 
+def test_big_wave_removal_keeps_recall():
+    """Remove 50% of a 10k corpus in ONE remove() call: recall must stay
+    within the reference's drift bar (GraphTests.cs:138-148 allows 2%;
+    we allow 5% absolute at this scale).  Exercises repair when many of a
+    node's neighbors die in the same wave (the REPAIR_FANIN union)."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+    rng = np.random.default_rng(31337)
+    n, dim = 10_000, 32
+    vecs = rng.random((n, dim), dtype=np.float32)
+    ix = HNSWIndex(dim, parameters=HNSWParameters(collection_size=n))
+    ids = ix.add(vecs)
+
+    pre = float((ix.knn_query(vecs[n // 2:], 1)[0][:, 0]
+                 == ids[n // 2:]).mean())
+    ix.remove(ids[: n // 2])
+    assert ix.count == n - n // 2
+    post_ids = ix.knn_query(vecs[n // 2:], 1)[0][:, 0]
+    post = float((post_ids == ids[n // 2:]).mean())
+    assert post >= pre - 0.05, (pre, post)
+    k10 = ix.knn_query(vecs[n // 2:][:200], 10)[0]
+    assert not np.isin(k10[k10 >= 0], ids[: n // 2]).any()
+
+
 def test_remove_duplicate_ids_freed_once():
     """remove([x, x]) must free slot x once and decrement count once."""
     from hnswindex_tpu import HNSWIndex, HNSWParameters
