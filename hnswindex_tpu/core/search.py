@@ -309,8 +309,14 @@ def range_search(cfg: GraphConfig, state: GraphState,
 
     Mirrors SearchLayerRange (GraphNavigator.cs:262-325): only neighbors
     with d <= radius join the frontier (:303), and every in-range node is
-    expanded.  The entry node is expanded even when out of range (the
-    reference pushes it unconditionally, :277).
+    expanded.  Entry nodes are expanded even when out of range (the
+    reference pushes its entry unconditionally, :277).
+
+    ``ep``/``ep_ok`` may be (B,) — the reference's single greedy entry —
+    or (B, E) multi-seed (callers pass a preliminary k-NN beam's pool,
+    which covers in-range pockets that are not connected to the entry
+    through other in-range nodes; strictly a recall superset of the
+    reference's single-entry BFS with identical within-radius semantics).
 
     Returns (dists, ids, saturated (B,) bool); ``saturated`` flags queries
     whose static result pool overflowed — the host retries with a larger
@@ -322,15 +328,21 @@ def range_search(cfg: GraphConfig, state: GraphState,
     nbr_l = lax.dynamic_index_in_dim(state.nbr, jnp.asarray(layer, jnp.int32),
                                      axis=0, keepdims=False)
 
+    if ep.ndim == 1:
+        ep = ep[:, None]
+        ep_ok = ep_ok[:, None]
+    E = min(ep.shape[1], pool)
+    ep = ep[:, :E]
+    ep_ok = ep_ok[:, :E] & (ep >= 0)
     epc = jnp.clip(ep, 0, C - 1)
-    d0 = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms, epc)
+    d0 = dst.gathered(cfg.metric, q, qn, state.vlo[epc], state.norms[epc])
     d0 = jnp.where(ep_ok, d0, _INF)
 
-    # pool entries: in-range nodes (plus the entry node, which may be out of
-    # range but must be expanded once; it is masked out of final results if
-    # out of range).
-    bd = jnp.full((B, pool), _INF, jnp.float32).at[:, 0].set(d0)
-    bi = jnp.full((B, pool), -1, jnp.int32).at[:, 0].set(
+    # pool entries: in-range nodes (plus the entry nodes, which may be out
+    # of range but must be expanded once; they are masked out of final
+    # results if out of range).
+    bd = jnp.full((B, pool), _INF, jnp.float32).at[:, :E].set(d0)
+    bi = jnp.full((B, pool), -1, jnp.int32).at[:, :E].set(
         jnp.where(ep_ok, ep, -1))
     bx = jnp.zeros((B, pool), jnp.int32)
     init = _RangeCarry(bd, bi, bx, jnp.asarray(0, jnp.int32))

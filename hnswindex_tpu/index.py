@@ -382,35 +382,9 @@ class HNSWIndex:
     def _refine(self, q: np.ndarray, ids: np.ndarray, k: int
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Recompute returned distances in float64 and re-sort each row."""
-        B = q.shape[0]
+        from .utils.refine import refine_pairs
         idc = np.clip(ids, 0, self._state.capacity - 1)
-        vecs = self._host_vecs()[idc].astype(np.float64)
-        qq = q.astype(np.float64)[:, None, :]
-        if dst.is_custom(self.metric):
-            d = np.asarray(dst.exact(self.metric,
-                                     qq.astype(np.float32),
-                                     vecs.astype(np.float32)),
-                           dtype=np.float64)
-        elif self.metric == "sq_euclid":
-            d = np.sum((qq - vecs) ** 2, axis=-1)
-        else:
-            dot = np.sum(qq * vecs, axis=-1)
-            if self.metric == "cosine":
-                qn = np.linalg.norm(qq, axis=-1)
-                cn = np.linalg.norm(vecs, axis=-1)
-                denom = qn * cn
-                d = np.where(denom > 0, 1.0 - dot / np.where(denom > 0,
-                                                             denom, 1.0), 1.0)
-            else:
-                d = 1.0 - dot
-        d = np.where(ids >= 0, d, np.inf)
-        order = np.argsort(d, axis=1, kind="stable")[:, :k]
-        rows = np.arange(B)[:, None]
-        out_ids = ids[rows, order]
-        out_d = d[rows, order].astype(np.float32)
-        out_d = np.where(out_ids >= 0, out_d, np.nan)  # pad semantics of
-        # the reference C ABI (HNSWIndexExports.cs:144: id=-1, dist=NaN)
-        return out_ids.astype(np.int32), out_d
+        return refine_pairs(self.metric, q, ids, self._host_vecs()[idc], k)
 
     def knn_query(self, queries, k: int,
                   filter_fnc=None, layer: int = 0, exact: bool = False
@@ -554,16 +528,16 @@ class HNSWIndex:
     def _range_once(self, qj, radius, layer, pool, fmask):
         qn = dst.norm_data(self.metric, qj)
         B = qj.shape[0]
-        ep = jnp.broadcast_to(self._state.ep, (B,))
-        ep_ok = ep >= 0
-        from .core.search import greedy_descent
-        ep_layer = jnp.where(ep_ok,
-                             self._state.level[jnp.clip(ep, 0, None)], -1)
-        stop = jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (B,))
-        entry, _ = greedy_descent(self._cfg, self._state, qj, qn, ep,
-                                  ep_layer, stop)
+        ep_ok = jnp.broadcast_to(self._state.ep >= 0, (B,))
+        # multi-seed from a preliminary k-NN beam: covers in-range pockets
+        # not connected to the greedy entry through in-range nodes
+        seed_ef = 16
+        _, seeds = knn_search(self._cfg, self._state, qj,
+                              jnp.asarray(layer, jnp.int32), seed_ef,
+                              self._cfg.search_iter_factor * seed_ef + 16)
         return range_search(
-            self._cfg, self._state, qj, qn, entry, ep_ok,
+            self._cfg, self._state, qj, qn, seeds,
+            jnp.broadcast_to(ep_ok[:, None], seeds.shape),
             jnp.asarray(layer, jnp.int32), jnp.float32(radius), pool,
             pool * 4 + 16, filtered=fmask is not None, filter_mask=fmask)
 

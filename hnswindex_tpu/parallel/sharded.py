@@ -19,11 +19,17 @@ per BASELINE.json's north star — is:
 
 Global ids are ``shard * shard_capacity + local_slot`` so results are
 stable across re-sharding of the query side.
+
+Capability parity with the single-chip facade: add / remove (with slot
+recycling) / update, knn (graph + exact) with filters and a layer
+argument, range queries, multi-layer queries, per-layer degree stats,
+connected components, count/ids/items, serialize/deserialize.  Compiled
+SPMD programs are cached per static shape on the instance.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,10 +49,15 @@ except ImportError:  # pragma: no cover
                     check_rep=False)
 
 from ..core import graph as G
+from ..core import stats
 from ..core.construct import insert_wave
-from ..core.search import knn_search
+from ..core.search import beam_search, greedy_descent, knn_search, \
+    range_search
 from ..ops import distance as dst
 from ..params import HNSWParameters
+from ..utils.refine import refine_pairs
+
+RANGE_POOLS = (64, 512, 4096)
 
 
 def _squeeze(tree):
@@ -95,23 +106,88 @@ class ShardedIndex:
         seed = p.random_seed if p.random_seed >= 0 else None
         self._rng = np.random.default_rng(seed)
         self._lengths = np.zeros(self.n_shards, dtype=np.int64)
+        self._counts = np.zeros(self.n_shards, dtype=np.int64)  # host mirror
+        self._free: List[List[int]] = [[] for _ in range(self.n_shards)]
         self._seeded = np.zeros(self.n_shards, dtype=bool)
+        self._fns = {}                  # compiled SPMD program cache
+        self._host_vectors: Optional[np.ndarray] = None
 
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _cached(self, key, build):
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = self._fns[key] = build()
+        return fn
+
+    def _invalidate_caches(self):
+        self._host_vectors = None
+
+    def _host_vecs(self) -> np.ndarray:
+        """(S, C, D) host mirror of stored vectors for f64 refinement."""
+        if self._host_vectors is None:
+            self._host_vectors = np.asarray(self._state.vectors)
+        return self._host_vectors
+
+    def _local(self, s: int):
+        """One shard's state slice (host-driven per-shard ops)."""
+        return _squeeze(jax.tree.map(lambda x: x[s:s + 1], self._state))
+
+    def _set_local(self, s: int, local):
+        self._state = jax.tree.map(
+            lambda full, one: full.at[s].set(one), self._state, local)
+
+    def _state_specs(self):
+        return jax.tree.map(lambda _: P("shard"), self._state)
+
+    def _refine_global(self, q: np.ndarray, gids: np.ndarray, k: int
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        C = self.shard_capacity
+        hv = self._host_vecs()
+        g = np.clip(gids, 0, self.n_shards * C - 1)
+        cand = hv[g // C, g % C]
+        return refine_pairs(self.metric, q, gids, cand, k)
+
+    def _global_filter_mask(self, filter_fnc) -> Optional[jnp.ndarray]:
+        """(S, C) bool mask from global ids / callable / bool array."""
+        if filter_fnc is None:
+            return None
+        S, C = self.n_shards, self.shard_capacity
+        if callable(filter_fnc):
+            active = np.asarray(self._state.active)
+            hv = self._host_vecs()
+            mask = np.zeros((S, C), dtype=bool)
+            for s, slot in zip(*np.nonzero(active)):
+                mask[s, slot] = bool(filter_fnc(hv[s, slot]))
+            return jnp.asarray(mask)
+        arr = np.asarray(filter_fnc)
+        if arr.dtype == bool and arr.shape == (S * C,):
+            return jnp.asarray(arr.reshape(S, C))
+        mask = np.zeros(S * C, dtype=bool)
+        mask[np.asarray(filter_fnc, dtype=np.int64)] = True
+        return jnp.asarray(mask.reshape(S, C))
+
+    # ------------------------------------------------------------------
+    # construction
     # ------------------------------------------------------------------
 
     def _wave_fn(self, W: int):
         cfg = self._cfg
 
-        def run(st, ids, vecs, lvls, valid):
-            local = _squeeze(st)
-            out = insert_wave(cfg, local, ids[0], vecs[0], lvls[0], valid[0])
-            return _expand(out)
+        def build():
+            def run(st, ids, vecs, lvls, valid):
+                local = _squeeze(st)
+                out = insert_wave(cfg, local, ids[0], vecs[0], lvls[0],
+                                  valid[0])
+                return _expand(out)
 
-        specs = (jax.tree.map(lambda _: P("shard"), self._state),
-                 P("shard"), P("shard"), P("shard"), P("shard"))
-        return jax.jit(_shard_map(run, self.mesh, specs,
-                                  jax.tree.map(lambda _: P("shard"),
-                                               self._state)))
+            specs = (self._state_specs(),
+                     P("shard"), P("shard"), P("shard"), P("shard"))
+            return jax.jit(_shard_map(run, self.mesh, specs,
+                                      self._state_specs()))
+        return self._cached(("wave", W), build)
 
     def add(self, vecs) -> np.ndarray:
         """Round-robin shard assignment + per-shard insert waves run as one
@@ -119,28 +195,42 @@ class ShardedIndex:
         a = np.ascontiguousarray(np.asarray(vecs, np.float32))
         if a.ndim == 1:
             a = a[None]
+        if a.shape[1] != self.dim:
+            raise ValueError(f"expected dim={self.dim}, got {a.shape[1]}")
         n = a.shape[0]
+        if n == 0:
+            return np.empty(0, np.int32)
+        self._invalidate_caches()
         S = self.n_shards
         C = self.shard_capacity
         lvls_all = G.sample_levels(self._rng, n,
                                    self.params.distribution_rate,
                                    self._cfg.max_levels)
         # round-robin assignment, starting from the least-filled shard
-        order = np.argsort(self._lengths, kind="stable")
-        shard_of = np.empty(n, dtype=np.int64)
-        for j in range(n):
-            shard_of[j] = order[j % S]
+        order = np.argsort(self._counts, kind="stable")
+        shard_of = order[np.arange(n) % S]
+        # slot allocation: freed slots first (GraphData.cs:85-91), fresh
+        # after
         slots = np.empty(n, dtype=np.int64)
         for s in range(S):
             mine = np.flatnonzero(shard_of == s)
-            slots[mine] = self._lengths[s] + np.arange(mine.size)
-            self._lengths[s] += mine.size
+            m = mine.size
+            reuse = 0
+            if self.params.allow_removals and self._free[s]:
+                reuse = min(m, len(self._free[s]))
+                slots[mine[:reuse]] = self._free[s][-reuse:][::-1]
+                del self._free[s][-reuse:]
+            fresh = m - reuse
+            slots[mine[reuse:]] = self._lengths[s] + np.arange(fresh)
+            self._lengths[s] += fresh
+            self._counts[s] += m
             if self._lengths[s] > C:
                 raise RuntimeError(
                     "shard capacity exhausted; set a larger collection_size")
         gids = (shard_of * C + slots).astype(np.int32)
 
         # seed unseeded shards with their first item (host-side scatter)
+        shard_of = shard_of.copy()
         for s in range(S):
             if self._seeded[s]:
                 continue
@@ -148,12 +238,9 @@ class ShardedIndex:
             if mine.size == 0:
                 continue
             j = mine[0]
-            local = _squeeze(jax.tree.map(lambda x: x[s:s + 1], self._state))
-            local = G.seed_first_node(self._cfg, local, int(slots[j]),
-                                      a[j], int(lvls_all[j]))
-            self._state = jax.tree.map(
-                lambda full, one: full.at[s].set(one), self._state,
-                local)
+            local = G.seed_first_node(self._cfg, self._local(s),
+                                      int(slots[j]), a[j], int(lvls_all[j]))
+            self._set_local(s, local)
             self._seeded[s] = True
             shard_of[j] = -1  # consumed
 
@@ -161,7 +248,7 @@ class ShardedIndex:
         # single-chip index: a shard holding b nodes accepts at most b new
         # items per wave, so early waves stay small and graph quality holds.
         queues = [list(np.flatnonzero(shard_of == s)) for s in range(S)]
-        built = np.array([max(1, self._lengths[s] - len(queues[s]))
+        built = np.array([max(1, self._counts[s] - len(queues[s]))
                           for s in range(S)], dtype=np.int64)
         Wmax = max(1, self.params.max_wave_size // S)
         wave_fn = self._wave_fn(Wmax)
@@ -185,117 +272,418 @@ class ShardedIndex:
         return gids
 
     # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
 
-    def _query_fn(self, ef: int, max_iters: int):
+    def _query_fn(self, ef: int, max_iters: int, filtered: bool):
         cfg = self._cfg
         C = self.shard_capacity
-
         expand = max(1, self.params.query_expand)
 
-        def run(st, q):
-            local = _squeeze(st)
-            d, i = knn_search(cfg, local, q, 0, ef, max_iters,
-                              expand=expand)
-            base = lax.axis_index("shard").astype(jnp.int32) * C
-            gi = jnp.where(i >= 0, i + base, -1)
-            return d[None], gi[None]
+        def build():
+            def run(st, q, layer, fm):
+                local = _squeeze(st)
+                d, i = knn_search(cfg, local, q, layer[0], ef, max_iters,
+                                  filtered=filtered,
+                                  filter_mask=fm[0] if filtered else None,
+                                  expand=expand)
+                base = lax.axis_index("shard").astype(jnp.int32) * C
+                gi = jnp.where(i >= 0, i + base, -1)
+                return d[None], gi[None]
 
-        specs = (jax.tree.map(lambda _: P("shard"), self._state), P())
-        shmapped = _shard_map(run, self.mesh, specs,
-                              (P("shard"), P("shard")))
+            specs = (self._state_specs(), P(), P(), P("shard"))
+            shmapped = _shard_map(run, self.mesh, specs,
+                                  (P("shard"), P("shard")))
 
-        @jax.jit
-        def query(st, q):
-            d, gi = shmapped(st, q)          # (S, B, ef) each
-            B = q.shape[0]
-            dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
-            ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
-            sd, si = lax.sort((dd, ii), num_keys=1)  # ICI all-gather + merge
-            return sd[:, :ef], si[:, :ef]
+            @jax.jit
+            def query(st, q, layer, fm):
+                d, gi = shmapped(st, q, layer, fm)   # (S, B, ef) each
+                B = q.shape[0]
+                dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
+                ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
+                sd, si = lax.sort((dd, ii), num_keys=1)  # ICI merge
+                return sd[:, :ef], si[:, :ef]
 
-        return query
+            return query
+        return self._cached(("query", ef, max_iters, filtered, expand),
+                            build)
 
-    def _exact_query_fn(self, k: int):
+    def _exact_query_fn(self, k: int, filtered: bool):
         cfg = self._cfg
         C = self.shard_capacity
         from ..ops.bruteforce import exact_knn
 
-        def run(st, q):
-            local = _squeeze(st)
-            d, i = exact_knn(cfg.metric, local.vectors, local.norms,
-                             local.active, q, k)
-            base = lax.axis_index("shard").astype(jnp.int32) * C
-            gi = jnp.where(i >= 0, i + base, -1)
-            return d[None], gi[None]
+        def build():
+            def run(st, q, layer, fm):
+                local = _squeeze(st)
+                allowed = local.active & (local.level >= layer[0])
+                if filtered:
+                    allowed = allowed & fm[0]
+                d, i = exact_knn(cfg.metric, local.vlo, local.norms,
+                                 allowed, q, k)
+                base = lax.axis_index("shard").astype(jnp.int32) * C
+                gi = jnp.where(i >= 0, i + base, -1)
+                return d[None], gi[None]
 
-        specs = (jax.tree.map(lambda _: P("shard"), self._state), P())
-        shmapped = _shard_map(run, self.mesh, specs,
-                              (P("shard"), P("shard")))
+            specs = (self._state_specs(), P(), P(), P("shard"))
+            shmapped = _shard_map(run, self.mesh, specs,
+                                  (P("shard"), P("shard")))
 
-        @jax.jit
-        def query(st, q):
-            d, gi = shmapped(st, q)          # (S, B, k) each
-            B = q.shape[0]
-            dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
-            ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
-            order = jnp.argsort(dd, axis=1)[:, :k]
-            return (jnp.take_along_axis(dd, order, axis=1),
-                    jnp.take_along_axis(ii, order, axis=1))
+            @jax.jit
+            def query(st, q, layer, fm):
+                d, gi = shmapped(st, q, layer, fm)   # (S, B, k) each
+                B = q.shape[0]
+                dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
+                ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
+                order = jnp.argsort(dd, axis=1)[:, :k]
+                return (jnp.take_along_axis(dd, order, axis=1),
+                        jnp.take_along_axis(ii, order, axis=1))
 
-        return query
+            return query
+        return self._cached(("exact", k, filtered), build)
 
-    def knn_query(self, queries, k: int, exact: bool = False):
+    def _fm_or_dummy(self, fmask):
+        if fmask is not None:
+            return fmask
+        return jnp.zeros((self.n_shards, 1), bool)   # placeholder (unused)
+
+    def knn_query(self, queries, k: int, filter_fnc=None, layer: int = 0,
+                  exact: bool = False):
         """Fan-out batched k-NN: per-shard beams (or per-shard exact MXU
-        scoring with ``exact=True``) + global top-k merge over ICI."""
+        scoring with ``exact=True``) + global top-k merge over ICI.
+        Returns (ids (n, k) int32, dists (n, k) float32), -1/NaN padded,
+        refined in float64 (the same contract as HNSWIndex)."""
         q = np.ascontiguousarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
+        n = q.shape[0]
+        if self.count == 0 or k < 1:
+            return (np.full((n, k), -1, np.int32),
+                    np.full((n, k), np.nan, np.float32))
+        fmask = self._global_filter_mask(filter_fnc)
+        filtered = fmask is not None
+        layer_j = jnp.full((self.n_shards,), layer, jnp.int32)
         if exact:
-            fn = self._exact_query_fn(k)
+            fn = self._exact_query_fn(k, filtered)
         else:
             ef = max(self.params.min_nn, k)
             max_iters = (self._cfg.search_iter_factor * ef) \
                 // max(1, self.params.query_expand) + 16
-            fn = self._query_fn(ef, max_iters)
-        d, i = fn(self._state, jnp.asarray(q))
-        d = np.asarray(d)[:, :k]
-        i = np.asarray(i)[:, :k]
-        d = np.where(i >= 0, d, np.nan).astype(np.float32)
-        return i.astype(np.int32), d
+            fn = self._query_fn(ef, max_iters, filtered)
+        d, i = fn(self._state, jnp.asarray(q), layer_j,
+                  self._fm_or_dummy(fmask))
+        return self._refine_global(q, np.asarray(i), k)
+
+    def _range_fn(self, pool: int, max_iters: int, filtered: bool):
+        cfg = self._cfg
+        C = self.shard_capacity
+
+        def build():
+            def run(st, q, radius, layer, fm):
+                local = _squeeze(st)
+                B = q.shape[0]
+                qn = dst.norm_data(cfg.metric, q)
+                ep_ok = jnp.broadcast_to(local.ep >= 0, (B,))
+                # multi-seed from a preliminary k-NN beam (see
+                # core.search.range_search)
+                seed_ef = 16
+                _, seeds = knn_search(cfg, local, q, layer[0], seed_ef,
+                                      cfg.search_iter_factor * seed_ef + 16)
+                d, i, sat = range_search(
+                    cfg, local, q, qn, seeds,
+                    jnp.broadcast_to(ep_ok[:, None], seeds.shape),
+                    layer[0], radius[0],
+                    pool, max_iters, filtered=filtered,
+                    filter_mask=fm[0] if filtered else None)
+                base = lax.axis_index("shard").astype(jnp.int32) * C
+                gi = jnp.where(i >= 0, i + base, -1)
+                return d[None], gi[None], sat[None]
+
+            specs = (self._state_specs(), P(), P(), P(), P("shard"))
+            return jax.jit(_shard_map(run, self.mesh, specs,
+                                      (P("shard"), P("shard"), P("shard"))))
+        return self._cached(("range", pool, max_iters, filtered), build)
+
+    def range_query(self, queries, radius: float, filter_fnc=None,
+                    layer: int = 0):
+        """Batched radius search across all shards (HNSWIndex.cs:144-168):
+        per-shard range beams, global merge, ragged (ids, dists) output
+        ascending by f64-refined distance."""
+        q = np.ascontiguousarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        n = q.shape[0]
+        if self.count == 0:
+            return ([np.empty(0, np.int32) for _ in range(n)],
+                    [np.empty(0, np.float32) for _ in range(n)])
+        fmask = self._global_filter_mask(filter_fnc)
+        filtered = fmask is not None
+        fm = self._fm_or_dummy(fmask)
+        S = self.n_shards
+        radius_j = jnp.full((S,), radius, jnp.float32)
+        layer_j = jnp.full((S,), layer, jnp.int32)
+        qj = jnp.asarray(q)
+        for pool in RANGE_POOLS:
+            fn = self._range_fn(pool, pool * 4 + 16, filtered)
+            d, gi, sat = fn(self._state, qj, radius_j, layer_j, fm)
+            if not bool(np.asarray(sat).any()):
+                break
+        # (S, n, pool) -> per-query merged ragged rows
+        gi = np.swapaxes(np.asarray(gi), 0, 1).reshape(n, -1)
+        ids_out, d_out = [], []
+        for r in range(n):
+            row = gi[r]
+            row = row[row >= 0]
+            if row.size == 0:
+                ids_out.append(np.empty(0, np.int32))
+                d_out.append(np.empty(0, np.float32))
+                continue
+            rid, rd = self._refine_global(q[r:r + 1], row[None, :],
+                                          row.size)
+            keep = (rid[0] >= 0) & (rd[0] <= radius)
+            ids_out.append(rid[0][keep])
+            d_out.append(rd[0][keep])
+        return ids_out, d_out
+
+    def _layer_beam_fn(self, k: int, max_iters: int):
+        cfg = self._cfg
+        C = self.shard_capacity
+
+        def build():
+            def run(st, q, layer, entry, on):
+                local = _squeeze(st)
+                qn = dst.norm_data(cfg.metric, q)
+                d, i = beam_search(cfg, local, q, qn, entry[0], on[0],
+                                   layer[0], k, max_iters)
+                base = lax.axis_index("shard").astype(jnp.int32) * C
+                gi = jnp.where(i >= 0, i + base, -1)
+                return d[None], gi[None], i[None, :, :1]
+
+            specs = (self._state_specs(), P(), P(), P("shard"), P("shard"))
+            return jax.jit(_shard_map(
+                run, self.mesh, specs, (P("shard"), P("shard"), P("shard"))))
+        return self._cached(("mlayer", k, max_iters), build)
+
+    def multi_layer_knn_query(self, query, k: int,
+                              max_layer: int = 2 ** 30, min_layer: int = 0):
+        """Per-layer k-NN chain (MultiLayerKnnQuery, HNSWIndex.cs:173-187)
+        across shards: each shard chains its own per-layer best as its next
+        entry; results merge globally per layer, dropping the closest (the
+        reference drops it at HNSWIndex.cs:184)."""
+        if self.count == 0 or k < 1:
+            return []
+        q = np.ascontiguousarray(np.asarray(query, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        q = q[:1]
+        S = self.n_shards
+        eps = np.asarray(self._state.ep)            # (S,)
+        lvl = np.asarray(self._state.level)         # (S, C)
+        tops = np.array([lvl[s, eps[s]] if eps[s] >= 0 else -1
+                         for s in range(S)])
+        top = int(min(max(tops), max_layer))
+        if top < 0:
+            return []
+        result = [None] * (top + 1)
+        max_iters = self._cfg.search_iter_factor * k + 16
+        fn = self._layer_beam_fn(k, max_iters)
+        entry = eps.astype(np.int32).reshape(S, 1)
+        qj = jnp.asarray(q)
+        for layer in range(top, min_layer - 1, -1):
+            on = ((tops >= layer) & (eps >= 0)).reshape(S, 1)
+            layer_j = jnp.full((S,), layer, jnp.int32)
+            d, gi, loc = fn(self._state, qj, layer_j,
+                            jnp.asarray(entry), jnp.asarray(on))
+            gi_np = np.swapaxes(np.asarray(gi), 0, 1).reshape(1, -1)
+            rid, rd = self._refine_global(q, gi_np, k)
+            valid = rid[0] >= 0
+            result[layer] = (rid[0][valid][1:], rd[0][valid][1:])
+            # chain each shard's own best as its next entry
+            loc_np = np.asarray(loc).reshape(S, 1)
+            entry = np.where(loc_np >= 0, loc_np, entry).astype(np.int32)
+        return result
+
+    # ------------------------------------------------------------------
+    # mutation
+    # ------------------------------------------------------------------
 
     def remove(self, gids) -> None:
-        """Remove by global id with per-shard graph repair.
-
-        Shard subgraphs are independent, so removal routes each id to its
-        owning shard (gid // shard_capacity) and runs the standard repair
-        driver on that shard's slice.  Freed slots are not currently
-        recycled by the sharded allocator (append-only slots per shard).
-        """
+        """Remove by global id with per-shard graph repair and slot
+        recycling (freed slots are handed out again by add)."""
         if not self.params.allow_removals:
             raise RuntimeError("Removals are disabled in this index "
                                "instance.")
         from ..core.remove import remove_from_state
-        arr = np.asarray(gids, dtype=np.int64).ravel()
+        arr = np.unique(np.asarray(gids, dtype=np.int64).ravel())
         if arr.size == 0:
             return
+        self._invalidate_caches()
         C = self.shard_capacity
+        active = np.asarray(self._state.active)
         shard_of = arr // C
         local_of = (arr % C).astype(np.int32)
         for s in np.unique(shard_of):
             mine = local_of[shard_of == s]
-            local = _squeeze(jax.tree.map(
-                lambda x: x[int(s):int(s) + 1], self._state))
+            mine = mine[active[int(s)][mine]]
+            if mine.size == 0:
+                continue
             local = remove_from_state(
-                self._cfg, local, mine,
+                self._cfg, self._local(int(s)), mine,
                 self.params.remove_max_candidates)
-            self._state = jax.tree.map(
-                lambda full, one: full.at[int(s)].set(one), self._state,
-                local)
+            self._set_local(int(s), local)
+            self._free[int(s)].extend(int(x) for x in mine)
+            self._counts[int(s)] -= mine.size
+
+    def update(self, gids, vecs) -> None:
+        """Replace stored vectors keeping their global ids (remove +
+        reinsert into the same slots with fresh levels/edges, the public
+        form of GraphData.UpdateItem, GraphData.cs:133-140)."""
+        arr = np.asarray(gids, dtype=np.int64).ravel()
+        a = np.ascontiguousarray(np.asarray(vecs, np.float32))
+        if a.ndim == 1:
+            a = a[None]
+        if arr.size != a.shape[0]:
+            raise ValueError("ids and vectors must have matching length")
+        if arr.size == 0:
+            return
+        if not self.params.allow_removals:
+            raise RuntimeError("update requires allow_removals=True")
+        if np.unique(arr).size != arr.size:
+            raise ValueError("update ids must be unique")
+        C = self.shard_capacity
+        S = self.n_shards
+        bad = (arr < 0) | (arr >= S * C)
+        if bad.any():
+            raise ValueError("update ids must all be active")
+        active = np.asarray(self._state.active)
+        if not active[arr // C, arr % C].all():
+            raise ValueError("update ids must all be active")
+        self.remove(arr)
+        self._invalidate_caches()
+        # reinsert into the same slots, shard by shard
+        lvls = G.sample_levels(self._rng, arr.size,
+                               self.params.distribution_rate,
+                               self._cfg.max_levels)
+        shard_of = arr // C
+        slot_of = (arr % C).astype(np.int64)
+        Wmax = max(1, self.params.max_wave_size // S)
+        wave_fn = self._wave_fn(Wmax)
+        for s in range(S):
+            freed = {int(x) for x in slot_of[shard_of == s]}
+            self._free[s] = [x for x in self._free[s] if x not in freed]
+        queues = [list(np.flatnonzero(shard_of == s)) for s in range(S)]
+        for s in range(S):
+            self._counts[s] += len(queues[s])
+            if queues[s] and not self._seeded[s]:
+                j = queues[s].pop(0)
+                local = G.seed_first_node(
+                    self._cfg, self._local(s), int(slot_of[j]), a[j],
+                    int(lvls[j]))
+                self._set_local(s, local)
+                self._seeded[s] = True
+        while any(queues):
+            ids_w = np.full((S, Wmax), -1, np.int32)
+            vec_w = np.zeros((S, Wmax, self.dim), np.float32)
+            lvl_w = np.zeros((S, Wmax), np.int32)
+            val_w = np.zeros((S, Wmax), bool)
+            for s in range(S):
+                take, queues[s] = queues[s][:Wmax], queues[s][Wmax:]
+                for t, j in enumerate(take):
+                    ids_w[s, t] = slot_of[j]
+                    vec_w[s, t] = a[j]
+                    lvl_w[s, t] = lvls[j]
+                    val_w[s, t] = True
+            self._state = wave_fn(self._state, jnp.asarray(ids_w),
+                                  jnp.asarray(vec_w), jnp.asarray(lvl_w),
+                                  jnp.asarray(val_w))
+
+    # ------------------------------------------------------------------
+    # introspection
+    # ------------------------------------------------------------------
 
     @property
     def count(self) -> int:
-        return int(np.asarray(jnp.sum(self._state.count)))
+        """Active items across all shards (host mirror — no device
+        readback, see HNSWIndex.count)."""
+        return int(self._counts.sum())
 
+    def ids(self) -> np.ndarray:
+        """Active global ids."""
+        active = np.asarray(self._state.active)
+        s, slot = np.nonzero(active)
+        return (s * self.shard_capacity + slot).astype(np.int32)
+
+    def items(self) -> np.ndarray:
+        """Active stored vectors, ordered like ids()."""
+        active = np.asarray(self._state.active)
+        s, slot = np.nonzero(active)
+        return self._host_vecs()[s, slot]
+
+    def get_info(self) -> stats.HNSWInfo:
+        """Per-layer degree statistics aggregated over all shards
+        (HNSWIndex.cs:192-196 semantics on the union of subgraphs)."""
+        eps = np.asarray(self._state.ep)
+        lvl = np.asarray(self._state.level)
+        tops = [int(lvl[s, eps[s]]) if eps[s] >= 0 else -1
+                for s in range(self.n_shards)]
+        top = max(tops)
+        if top < 0:
+            return stats.HNSWInfo(layers=[])
+        report_in = self.params.allow_removals
+        layers = []
+        for l in range(top + 1):
+            od_all, id_all = [], []
+            for s in range(self.n_shards):
+                if tops[s] < 0:
+                    continue
+                outd, ind, on_layer = stats._layer_degrees(
+                    self._cfg, self._local(s), l)
+                on = np.asarray(on_layer)
+                od_all.append(np.asarray(outd)[on])
+                id_all.append(np.asarray(ind)[on])
+            od = np.concatenate(od_all) if od_all else np.empty(0, np.int32)
+            idg = np.concatenate(id_all) if id_all else od
+            if od.size == 0:
+                continue
+            if not report_in:
+                idg = np.zeros_like(idg)
+
+            def med(x):
+                sx = np.sort(x)
+                m = sx.size
+                return int((sx[m // 2 - 1] + sx[m // 2]) // 2) \
+                    if m % 2 == 0 else int(sx[m // 2])
+
+            layers.append(stats.LayerInfo(
+                layer_id=l, nodes_count=int(od.size),
+                max_out_edges=int(od.max()), min_out_edges=int(od.min()),
+                max_in_edges=int(idg.max()), min_in_edges=int(idg.min()),
+                avg_out_edges=float(od.mean()),
+                avg_in_edges=float(idg.mean()),
+                out_edges_median=med(od), in_edges_median=med(idg)))
+        return stats.HNSWInfo(layers=layers)
+
+    def get_connected_component_counts(self) -> List[int]:
+        """Per-layer weak-component counts.  Shard subgraphs are disjoint,
+        so the global count is the sum of per-shard counts."""
+        per_shard = []
+        for s in range(self.n_shards):
+            local = self._local(s)
+            if int(np.asarray(local.count)) == 0:
+                continue
+            per_shard.append(stats.connected_component_counts(self._cfg,
+                                                              local))
+        if not per_shard:
+            return []
+        top = max(len(c) for c in per_shard)
+        out = [0] * top
+        for c in per_shard:
+            for l, v in enumerate(c):
+                out[l] += v
+        return out
+
+    # ------------------------------------------------------------------
+    # persistence
     # ------------------------------------------------------------------
 
     def serialize(self, path: str) -> None:
@@ -309,6 +697,8 @@ class ShardedIndex:
             "max_levels": int(self._cfg.max_levels),
             "parameters": dataclasses.asdict(self.params),
             "lengths": [int(x) for x in self._lengths],
+            "counts": [int(x) for x in self._counts],
+            "free": [[int(x) for x in f] for f in self._free],
             "seeded": [bool(x) for x in self._seeded],
         }
         arrays = {f: np.asarray(getattr(self._state, f))
@@ -356,5 +746,11 @@ class ShardedIndex:
                 idx.mesh, P("shard", *([None] * (x.ndim - 1)))), new_state)
         idx._state = jax.tree.map(jax.device_put, new_state, shspec)
         idx._lengths = np.asarray(header["lengths"], np.int64)
+        counts = header.get("counts")
+        if counts is None:                     # legacy snapshot
+            counts = np.asarray(arrays["count"], np.int64)
+        idx._counts = np.asarray(counts, np.int64)
+        idx._free = [list(f) for f in header.get(
+            "free", [[] for _ in range(S)])]
         idx._seeded = np.asarray(header["seeded"], bool)
         return idx
