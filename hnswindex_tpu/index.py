@@ -61,6 +61,9 @@ QUERY_BUCKETS = (1, 16, 128, 1024)
 # so large waves keep repair quality and amortize per-wave dispatches.
 REMOVE_BUCKETS = (1, 64, 512)
 AFFECTED_CHUNK = 1024
+# range-search result-pool ladder; radii covering more than the cap are
+# answered by an exact scan instead of unbounded pool growth
+RANGE_POOLS = (64, 512, 4096)
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -360,18 +363,15 @@ class HNSWIndex:
         return self._pack
 
     def _build_filter_mask(self, filter_fnc) -> Optional[jnp.ndarray]:
+        """(C,) bool device mask from an id list / bool array.
+
+        Callable predicates never come through here: they are evaluated
+        lazily on candidates only (reference semantics — the predicate
+        runs on visited nodes, GraphNavigator.cs:235-239 — not on the
+        whole corpus)."""
         if filter_fnc is None:
             return None
         C = self._state.capacity
-        if callable(filter_fnc):
-            # reference filter signature: predicate over the stored vector
-            # (HNSWIndex.cs:111-113)
-            active = np.asarray(self._state.active)
-            vectors = self._host_vecs()
-            mask = np.zeros(C, dtype=bool)
-            for i in np.flatnonzero(active):
-                mask[i] = bool(filter_fnc(vectors[i]))
-            return jnp.asarray(mask)
         mask = np.asarray(filter_fnc, dtype=bool)
         if mask.shape != (C,):
             m = np.zeros(C, dtype=bool)
@@ -401,16 +401,28 @@ class HNSWIndex:
         if self._count_host <= 0 or k < 1:
             return (np.full((n, k), -1, np.int32),
                     np.full((n, k), np.nan, np.float32))
+        if callable(filter_fnc):
+            return self._knn_query_callable(q, k, filter_fnc, layer, exact)
         if exact:
             return self._exact_query(q, k, filter_fnc, layer)
         ef = max(self.params.min_nn, k)          # HNSWIndex.cs:115
-        expand = max(1, self.params.query_expand)
-        max_iters = (self._cfg.search_iter_factor * ef) // expand + 16
         fmask = self._build_filter_mask(filter_fnc)
-        pk = self._get_pack() if layer == 0 else None
-
+        ids = self._search_ids(q, ef, layer, fmask)
         out_ids = np.empty((n, k), np.int32)
         out_d = np.empty((n, k), np.float32)
+        for i in range(0, n, QUERY_BUCKETS[-1]):
+            j = min(n, i + QUERY_BUCKETS[-1])
+            out_ids[i:j], out_d[i:j] = self._refine(q[i:j], ids[i:j], k)
+        return out_ids, out_d
+
+    def _search_ids(self, q: np.ndarray, ef: int, layer: int,
+                    fmask, expand: Optional[int] = None) -> np.ndarray:
+        """Bucketed device graph search; returns (n, ef) candidate ids."""
+        n = q.shape[0]
+        expand = expand or max(1, self.params.query_expand)
+        max_iters = (self._cfg.search_iter_factor * ef) // expand + 16
+        pk = self._get_pack() if layer == 0 else None
+        out = np.empty((n, ef), np.int32)
         i = 0
         while i < n:
             w = min(QUERY_BUCKETS[-1], n - i)
@@ -430,10 +442,69 @@ class HNSWIndex:
                         jnp.asarray(layer, jnp.int32), ef, max_iters,
                         filtered=fmask is not None, filter_mask=fmask,
                         expand=expand)
-                ids_np = np.asarray(ids)[:w]
-            out_ids[i:i + w], out_d[i:i + w] = self._refine(
-                q[i:i + w], ids_np, k)
+                out[i:i + w] = np.asarray(ids)[:w]
             i += w
+        return out
+
+    def _knn_query_callable(self, q: np.ndarray, k: int, pred, layer: int,
+                            exact: bool) -> Tuple[np.ndarray, np.ndarray]:
+        """Callable-predicate filtering (HNSWIndex.cs:111-117 signature):
+        search unfiltered with a widened beam and evaluate the predicate
+        only on returned candidates, widening further for queries that are
+        short of k passing results.  The reference evaluates its predicate
+        on visited nodes only (GraphNavigator.cs:235-239); an O(N) sweep
+        of the corpus per query call would defeat that contract."""
+        from .ops.bruteforce import exact_knn
+
+        n = q.shape[0]
+        hv = self._host_vecs()
+        out_ids = np.full((n, k), -1, np.int32)
+        out_d = np.full((n, k), np.nan, np.float32)
+        cache: dict = {}
+
+        def passing(row):
+            keep = []
+            for x in row:
+                x = int(x)
+                if x < 0:
+                    continue
+                hit = cache.get(x)
+                if hit is None:
+                    hit = cache[x] = bool(pred(hv[x]))
+                if hit:
+                    keep.append(x)
+            return keep
+
+        pending = np.arange(n)
+        ef = max(self.params.min_nn, 2 * k, 16)
+        cap = min(4096, _next_pow2(max(self._count_host, 1)))
+        while pending.size:
+            sub = q[pending]
+            if exact:
+                eff = min(ef, max(self._count_host, 1))
+                allowed = self._state.active
+                if layer > 0:
+                    allowed = allowed & (self._state.level >= layer)
+                _, ids = exact_knn(self.metric, self._state.vlo,
+                                   self._state.norms, allowed,
+                                   jnp.asarray(sub), eff)
+                ids = np.asarray(ids)
+            else:
+                ids = self._search_ids(sub, ef, layer, None)
+            still = []
+            for r, qi in enumerate(pending):
+                row = ids[r]
+                keep = passing(row)
+                exhausted = ef >= cap or (row >= 0).sum() < ids.shape[1]
+                if len(keep) >= k or exhausted:
+                    got = np.full(k, -1, np.int32)
+                    got[: min(k, len(keep))] = keep[:k]
+                    rid, rd = self._refine(q[qi:qi + 1], got[None, :], k)
+                    out_ids[qi], out_d[qi] = rid[0], rd[0]
+                else:
+                    still.append(qi)
+            pending = np.asarray(still, dtype=np.int64)
+            ef = min(cap, ef * 4)
         return out_ids, out_d
 
     def _exact_query(self, q: np.ndarray, k: int, filter_fnc, layer: int
@@ -487,43 +558,120 @@ class HNSWIndex:
                     filter_fnc=None, layer: int = 0
                     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
         """Batched radius search (HNSWIndex.cs:144-168).  Returns ragged
-        per-query (ids, dists) lists, ascending by distance."""
+        per-query (ids, dists) lists, ascending by distance.
+
+        The result-pool width is sized up front with one exact MXU count
+        of in-radius rows (ops.bruteforce.range_count) — cheaper than one
+        mis-sized retry of the graph search, and it bounds the pool ladder
+        the round-1 design grew without limit.  Queries whose in-radius
+        population exceeds RANGE_POOL_CAP skip the graph entirely and are
+        answered by an exact scan.  Callable predicates are evaluated on
+        the returned in-range candidates only (identical result semantics
+        to the reference's visited-node filtering for range queries, since
+        range results are not truncated to a top-k)."""
         q = _as_2d_f32(queries, self.dim)
         n = q.shape[0]
-        ids_out: List[np.ndarray] = []
-        d_out: List[np.ndarray] = []
         if self._count_host <= 0:
             return ([np.empty(0, np.int32) for _ in range(n)],
                     [np.empty(0, np.float32) for _ in range(n)])
-        fmask = self._build_filter_mask(filter_fnc)
+        pred = filter_fnc if callable(filter_fnc) else None
+        fmask = None if pred else self._build_filter_mask(filter_fnc)
+
+        # size the pool exactly (built-in metrics); custom metrics walk
+        # the bounded ladder instead
+        if not dst.is_custom(self.metric):
+            from .ops.bruteforce import range_count
+            counts = np.asarray(range_count(
+                self.metric, self._state.vlo, self._state.norms,
+                self._state.active, jnp.asarray(q),
+                jnp.float32(radius)))
+        else:
+            counts = np.full(n, -1, np.int64)
+
+        ids_out: List[Optional[np.ndarray]] = [None] * n
+        d_out: List[Optional[np.ndarray]] = [None] * n
+
+        exact_rows = [i for i in range(n)
+                      if counts[i] > RANGE_POOLS[-1]]
+        graph_rows = [i for i in range(n) if i not in set(exact_rows)]
+
+        for i in exact_rows:
+            rid, rd = self._range_exact_host(q[i], radius, fmask)
+            ids_out[i], d_out[i] = rid, rd
 
         i = 0
-        while i < n:
-            w = min(QUERY_BUCKETS[-1], n - i)
+        while i < len(graph_rows):
+            take = graph_rows[i:i + QUERY_BUCKETS[-1]]
+            w = len(take)
             b = _bucket(w, QUERY_BUCKETS)
             qpad = np.zeros((b, self.dim), np.float32)
-            qpad[:w] = q[i:i + w]
+            qpad[:w] = q[take]
             qj = jnp.asarray(qpad)
-            pool = 64
-            while True:
+            need = int(max([counts[t] for t in take], default=0))
+            start = next((p for p in RANGE_POOLS if p >= need + 1),
+                         RANGE_POOLS[-1])
+            for pool in [p for p in RANGE_POOLS if p >= start]:
                 d, ids, sat = self._range_once(qj, radius, layer, pool,
                                                fmask)
                 if not bool(np.asarray(sat)[:w].any()):
                     break
-                pool *= 2   # static pool overflowed; retry wider
             ids_np = np.asarray(ids)[:w]
-            for r in range(w):
+            sat_np = np.asarray(sat)[:w]
+            for r, t in enumerate(take):
+                if sat_np[r]:
+                    # saturated at the cap (custom metric, unknown count):
+                    # exact fallback keeps results complete
+                    ids_out[t], d_out[t] = self._range_exact_host(
+                        q[t], radius, fmask)
+                    continue
                 row = ids_np[r]
                 row = row[row >= 0]
-                rid, rd = self._refine(q[i + r:i + r + 1],
+                rid, rd = self._refine(q[t:t + 1],
                                        row[None, :] if row.size else
                                        np.full((1, 1), -1, np.int32),
                                        max(row.size, 1))
                 keep = (rid[0] >= 0) & (rd[0] <= radius)
-                ids_out.append(rid[0][keep])
-                d_out.append(rd[0][keep])
+                ids_out[t], d_out[t] = rid[0][keep], rd[0][keep]
             i += w
+
+        if pred is not None:
+            for i in range(n):
+                keep = np.asarray([bool(pred(self._host_vecs()[int(x)]))
+                                   for x in ids_out[i]], dtype=bool) \
+                    if len(ids_out[i]) else np.zeros(0, bool)
+                ids_out[i] = ids_out[i][keep]
+                d_out[i] = d_out[i][keep]
         return ids_out, d_out
+
+    def _range_exact_host(self, q1: np.ndarray, radius: float, fmask
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact single-query range scan on the host vector mirror (the
+        overflow path for radii covering more than RANGE_POOLS[-1] rows)."""
+        hv = self._host_vecs().astype(np.float64)
+        active = np.asarray(self._state.active)
+        if fmask is not None:
+            active = active & np.asarray(fmask)
+        qq = q1.astype(np.float64)
+        if dst.is_custom(self.metric):
+            d = np.asarray(dst.exact(self.metric,
+                                     qq[None, :].astype(np.float32),
+                                     hv.astype(np.float32)),
+                           dtype=np.float64)
+        elif self.metric == "sq_euclid":
+            d = ((hv - qq) ** 2).sum(1)
+        else:
+            dot = hv @ qq
+            if self.metric == "cosine":
+                denom = np.linalg.norm(qq) * np.linalg.norm(hv, axis=1)
+                d = np.where(denom > 0, 1.0 - dot / np.where(
+                    denom > 0, denom, 1.0), 1.0)
+            else:
+                d = 1.0 - dot
+        d = np.where(active, d, np.inf)
+        hit = np.flatnonzero(d <= radius)
+        order = np.argsort(d[hit], kind="stable")
+        return (hit[order].astype(np.int32),
+                d[hit][order].astype(np.float32))
 
     def _range_once(self, qj, radius, layer, pool, fmask):
         qn = dst.norm_data(self.metric, qj)

@@ -96,3 +96,40 @@ def exact_knn(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
     bi = jnp.take_along_axis(bi, order, axis=1)
     bi = jnp.where(jnp.isfinite(bd), bi, -1)
     return bd, bi
+
+
+@partial(jax.jit, static_argnames=("metric", "block"))
+def range_count(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
+                active: jnp.ndarray, q: jnp.ndarray, radius,
+                block: int = _BLOCK):
+    """Exact count of active corpus rows within ``radius`` of each query.
+
+    One blocked MXU scan — cheaper than a single mis-sized graph range
+    retry, so the host uses it to size the range-search result pool
+    up front instead of a grow-and-recompile ladder."""
+    if dst.is_custom(metric):
+        raise ValueError("range_count requires a dot-decomposable metric")
+    C, D = vectors.shape
+    B = q.shape[0]
+    qn = dst.norm_data(metric, q)
+    block = min(block, C)
+    nblocks = -(-C // block)
+    pad = nblocks * block - C
+    if pad:
+        vectors = jnp.pad(vectors, ((0, pad), (0, 0)))
+        norms = jnp.pad(norms, (0, pad))
+        active = jnp.pad(active, (0, pad))
+
+    def body(i, acc):
+        vblk = lax.dynamic_slice_in_dim(vectors, i * block, block)
+        nblk = lax.dynamic_slice_in_dim(norms, i * block, block)
+        ablk = lax.dynamic_slice_in_dim(active, i * block, block)
+        lo = vectors.dtype == jnp.bfloat16
+        dots = jnp.einsum("bd,cd->bc", q.astype(vblk.dtype), vblk,
+                          precision=None if lo else dst.DOT_PRECISION,
+                          preferred_element_type=jnp.float32)
+        d = dst.from_dot(metric, dots, qn[:, None], nblk[None, :])
+        return acc + jnp.sum((d <= radius) & ablk[None, :], axis=1,
+                             dtype=jnp.int32)
+
+    return lax.fori_loop(0, nblocks, body, jnp.zeros((B,), jnp.int32))
