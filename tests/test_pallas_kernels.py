@@ -7,7 +7,6 @@ import pytest
 import jax.numpy as jnp
 
 from hnswindex_tpu.ops.pallas_block import block_scores
-from hnswindex_tpu.ops.pallas_gather import gather_distances
 
 
 @pytest.mark.parametrize("metric", ["sq_euclid", "cosine", "ucosine"])
@@ -39,15 +38,22 @@ def test_block_scores_interpret(metric):
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
 
 
-def test_gather_distances_interpret():
+def test_packed_rank_distance_identity():
+    """The packed-residual rank distance ||q-u||^2 - 2(q-u)·r + ||r||^2
+    equals the exact distance to the bf16-perturbed neighbor (core/pack.py
+    docstring) — verifies the identity the serving engine ranks by."""
     rng = np.random.default_rng(1)
-    C, D, B, K = 64, 16, 16, 8
-    vecs = rng.random((C, D)).astype(np.float32)
-    ids = rng.integers(0, C, (B, K)).astype(np.int32)
-    q = rng.random((B, D)).astype(np.float32)
-    got = np.asarray(gather_distances("sq_euclid", jnp.asarray(vecs),
-                                      jnp.asarray(ids), jnp.asarray(q),
-                                      interpret=True))
-    want = ((vecs[ids].astype(np.float64)
-             - q.astype(np.float64)[:, None, :]) ** 2).sum(-1)
-    assert np.allclose(got, want, atol=1e-4)
+    D = 32
+    u = rng.random(D).astype(np.float32)
+    v = rng.random(D).astype(np.float32)
+    q = rng.random(D).astype(np.float32)
+    r16 = jnp.asarray(v - u, jnp.bfloat16)
+    r = np.asarray(r16.astype(jnp.float32), dtype=np.float64)
+    v_pert = u.astype(np.float64) + r
+    du = ((q.astype(np.float64) - u) ** 2).sum()
+    aux = (r * r).sum()
+    rank_d = du - 2.0 * ((q.astype(np.float64) - u) * r).sum() + aux
+    exact_d = ((q.astype(np.float64) - v_pert) ** 2).sum()
+    assert abs(rank_d - exact_d) < 1e-9
+    # and the perturbation is bounded by bf16 resolution of the residual
+    assert np.abs(r - (v - u)).max() <= 2 ** -8 * np.abs(v - u).max()
