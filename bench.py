@@ -52,7 +52,7 @@ def main():
     from hnswindex_tpu import HNSWIndex, HNSWParameters
     from hnswindex_tpu.core import pack as PK
     from hnswindex_tpu.core.search import knn_search
-    from hnswindex_tpu.ops.bruteforce import exact_knn
+    from hnswindex_tpu.ops.bruteforce import exact_knn, exact_knn2
 
     rng = np.random.default_rng(65537)
     if data_kind == "clustered":
@@ -170,7 +170,7 @@ def main():
     bix.build(vecs)
     log(f"block build: {time.perf_counter() - t0:.1f}s "
         f"({bix.n_blocks} blocks)")
-    for n_probe in (8, 16, 64, 128):
+    for n_probe in (4, 8, 16, 64, 128):
         if n_probe > bix.n_blocks:
             continue
 
@@ -183,14 +183,20 @@ def main():
         if rec > 0.85:
             candidates.append((qps, f"block(n_probe={n_probe})", rec))
 
+    ct = state.coarse_table
+
     def exact_run(qs):
+        if ct is not None:
+            return exact_knn2(cfg.metric, state.vectors, ct, state.norms,
+                              state.active, qs, k)
         return exact_knn(cfg.metric, state.vectors, state.norms,
                          state.active, qs, k)
 
     exact_qps = throughput(exact_run)
     exact_rec = recall_of(np.asarray(exact_run(queries)[1])[:, :k])
     mfu = exact_qps * 2.0 * dim * n / 394e12  # vs v5e bf16 peak
-    log(f"exact: {exact_qps:.0f} q/s, recall@{k} {exact_rec:.4f} "
+    stage = "2-stage bf16+f32" if ct is not None else "f32"
+    log(f"exact ({stage}): {exact_qps:.0f} q/s, recall@{k} {exact_rec:.4f} "
         f"(~{100 * mfu:.0f}% of bf16 peak)")
     if exact_rec > 0.85:
         candidates.append((exact_qps, "exact", exact_rec))

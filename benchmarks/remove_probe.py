@@ -1,0 +1,56 @@
+"""Measure removal throughput on the live backend.
+
+Builds an index, removes a fraction of it in big waves, and reports
+removals/s plus post-removal self-recall of the survivors.
+
+Usage: python benchmarks/remove_probe.py [N] [REMOVE_FRAC]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
+    dim = 128
+    rng = np.random.default_rng(0)
+    vecs = rng.random((n, dim), dtype=np.float32)
+
+    idx = HNSWIndex(dim, parameters=HNSWParameters(collection_size=n))
+    t0 = time.perf_counter()
+    ids = idx.add(vecs)
+    t1 = time.perf_counter()
+    print(f"build: {n} in {t1 - t0:.1f}s ({n / (t1 - t0):.0f}/s)",
+          file=sys.stderr)
+
+    drop = rng.choice(ids, size=int(n * frac), replace=False)
+    # warmup wave compiles every (bucket, tier, layer, chunk) kernel
+    warm = drop[:4600]
+    rest = drop[4600:]
+    t2 = time.perf_counter()
+    idx.remove(warm)
+    t3 = time.perf_counter()
+    print(f"warmup remove: {warm.size} in {t3 - t2:.1f}s (incl. compiles)",
+          file=sys.stderr)
+    t2 = time.perf_counter()
+    idx.remove(rest)
+    t3 = time.perf_counter()
+    rate = rest.size / (t3 - t2)
+    print(f"remove: {rest.size} in {t3 - t2:.1f}s ({rate:.0f}/s)",
+          file=sys.stderr)
+
+    keep = np.setdiff1d(ids, drop)
+    sub = rng.choice(keep, size=min(2000, keep.size), replace=False)
+    qi, _ = idx.knn_query(vecs[sub], k=1)
+    rec = float((qi[:, 0] == sub).mean())
+    print(f"post-removal self-recall@1: {rec:.3f}", file=sys.stderr)
+    print(f"{{\"removals_per_s\": {rate:.1f}, \"post_recall\": {rec:.4f}}}")
+
+
+if __name__ == "__main__":
+    main()

@@ -39,7 +39,8 @@ from jax import lax
 
 from ..ops import distance as dst
 from . import heuristic
-from .graph import GraphConfig, GraphState
+from .graph import (GraphConfig, GraphState, update_coarse,
+                    update_vlo)
 from .search import beam_search, greedy_descent
 
 _INF = jnp.inf
@@ -101,9 +102,9 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     P = W * Ms
     C = state.capacity
     K = nbr.shape[2]
-    layer = jnp.asarray(layer, jnp.int32)
+    layer = int(layer)   # static: traced layer slices copy the table
 
-    nbr_l0 = lax.dynamic_index_in_dim(nbr, layer, 0, keepdims=False)  # (C,K)
+    nbr_l0 = nbr[layer]                                               # (C,K)
 
     u = jnp.repeat(src_ids.astype(jnp.int32), Ms)
     v = sel.reshape(P)
@@ -128,7 +129,7 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     svc = jnp.clip(sv, 0, C - 1)
 
     nbr_l = nbr_l0
-    deg_l = lax.dynamic_index_in_dim(deg, layer, 0, keepdims=False)  # (C,)
+    deg_l = deg[layer]                                               # (C,)
 
     olddeg = jnp.where(spv, deg_l[svc], 0)
     counts = jnp.zeros((C + 1,), jnp.int32).at[sv].add(1)
@@ -163,8 +164,8 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     nbr_l = nbr_l.at[rowd].set(sel2pad, mode="drop")
     deg_l = deg_l.at[rowd].set(cnt2, mode="drop")
 
-    nbr = lax.dynamic_update_index_in_dim(nbr, nbr_l, layer, 0)
-    deg = lax.dynamic_update_index_in_dim(deg, deg_l, layer, 0)
+    nbr = nbr.at[layer].set(nbr_l)
+    deg = deg.at[layer].set(deg_l)
     return nbr, deg
 
 
@@ -184,10 +185,8 @@ def _apply_connections(cfg: GraphConfig, state: GraphState, layer, ids,
 
     selpad = jnp.full((W, K), -1, jnp.int32).at[:, :max_deg].set(sel)
     rowsafe = jnp.where(conn, ids, C)
-    nbr = state.nbr.at[jnp.asarray(layer, jnp.int32), rowsafe].set(
-        selpad, mode="drop")
-    deg = state.deg.at[jnp.asarray(layer, jnp.int32), rowsafe].set(
-        cnt, mode="drop")
+    nbr = state.nbr.at[int(layer), rowsafe].set(selpad, mode="drop")
+    deg = state.deg.at[int(layer), rowsafe].set(cnt, mode="drop")
     nbr, deg = _add_reverse(cfg, state._replace(nbr=nbr, deg=deg), layer,
                             ids, sel, conn, max_deg)
     return nbr, deg, sel
@@ -224,8 +223,8 @@ def scatter_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls,
     rowsafe = jnp.where(valid, ids, C)
     return state._replace(
         vectors=state.vectors.at[rowsafe].set(vecs, mode="drop"),
-        vlo=state.vlo.at[rowsafe].set(vecs.astype(state.vlo.dtype),
-                                      mode="drop"),
+        vlo_store=update_vlo(state, rowsafe, vecs),
+        coarse=update_coarse(state, rowsafe, vecs),
         norms=state.norms.at[rowsafe].set(vn, mode="drop"),
         level=state.level.at[rowsafe].set(lvls.astype(jnp.int32),
                                           mode="drop"),
@@ -262,16 +261,17 @@ def upper_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid):
     entry, _ = greedy_descent(cfg, state, vecs, vn, ep_b,
                               jnp.broadcast_to(old_top, (Wu,)), conn_top)
 
-    def upper_body(i, carry):
-        nbr, deg, entry = carry
-        layer = (L - 1) - i
+    # The layer loop is Python-unrolled (L is static): carrying the
+    # (L, C, K) table through a lax.fori_loop makes XLA materialize a
+    # lane-padded copy of it per step (s32[..., K] pads K -> 128, a 4x
+    # blowup that OOMs at 8M rows); with static layer indices every
+    # scatter updates the donated table in place.
+    nbr, deg = state.nbr, state.deg
+    for layer in range(L - 1, 0, -1):
         conn = valid & has_graph & (layer <= conn_top) & (lvls >= layer)
         st = state._replace(nbr=nbr, deg=deg)
-        return _connect_at_layer(cfg, st, layer, ids, vecs, vn, entry, conn,
-                                 cfg.max_edges)
-
-    nbr, deg, entry = lax.fori_loop(
-        0, L - 1, upper_body, (state.nbr, state.deg, entry))
+        nbr, deg, entry = _connect_at_layer(cfg, st, layer, ids, vecs, vn,
+                                            entry, conn, cfg.max_edges)
     return state._replace(nbr=nbr, deg=deg), entry
 
 
@@ -336,9 +336,12 @@ def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
     hundreds of bandwidth-bound neighbor gathers; candidates are the true
     efConstruction nearest neighbors, so graph quality dominates the beam
     path.  Used while the corpus is below the host's exact-build threshold
-    (construction cost is O(C) per wave, so this is the fast path up to a
-    few hundred thousand vectors; the beam path takes over beyond)."""
-    from ..ops.bruteforce import exact_knn
+    (construction cost is O(C) per wave).  Past 2M rows the scan switches
+    to the two-stage form (bf16 coarse + f32 rescore of 4x-oversampled
+    survivors, ops/bruteforce.exact_knn2) — the coarse matmul runs at the
+    MXU's native rate, and below 2M the rescore gather costs more than
+    the f32 scan saves."""
+    from ..ops.bruteforce import exact_knn, exact_knn2
 
     W = ids.shape[0]
     C = state.capacity
@@ -350,8 +353,14 @@ def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
     has_graph = ep0 >= 0
     old_top = jnp.where(has_graph, state.level[jnp.clip(ep0, 0, C - 1)], -1)
 
-    cd, ci = exact_knn(cfg.metric, state.vlo, state.norms, state.active,
-                       vecs, cfg.ef_construction, exclude=ids)
+    ct = state.coarse_table
+    if ct is not None and C >= (1 << 21):
+        cd, ci = exact_knn2(cfg.metric, state.vectors, ct, state.norms,
+                            state.active, vecs, cfg.ef_construction,
+                            exclude=ids)
+    else:
+        cd, ci = exact_knn(cfg.metric, state.vlo, state.norms, state.active,
+                           vecs, cfg.ef_construction, exclude=ids)
     conn0 = valid & has_graph
     nbr, deg, _ = _apply_connections(cfg, state, 0, ids, cd, ci, conn0,
                                      2 * cfg.max_edges)
@@ -383,8 +392,8 @@ def insert_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls, valid):
     rowsafe = jnp.where(valid, ids, C)
     state = state._replace(
         vectors=state.vectors.at[rowsafe].set(vecs, mode="drop"),
-        vlo=state.vlo.at[rowsafe].set(vecs.astype(state.vlo.dtype),
-                                      mode="drop"),
+        vlo_store=update_vlo(state, rowsafe, vecs),
+        coarse=update_coarse(state, rowsafe, vecs),
         norms=state.norms.at[rowsafe].set(vn, mode="drop"),
         level=state.level.at[rowsafe].set(lvls, mode="drop"),
         active=state.active.at[rowsafe].set(True, mode="drop"),
@@ -400,17 +409,13 @@ def insert_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls, valid):
                               jnp.broadcast_to(old_top, (W,)), conn_top)
 
     # Upper layers L-1 .. 1 (degree cap M), then layer 0 (cap 2*M) —
-    # GraphData.cs:247-250.
-    def upper_body(i, carry):
-        nbr, deg, entry = carry
-        layer = (L - 1) - i
+    # GraphData.cs:247-250.  Python-unrolled: see upper_connect.
+    nbr, deg = state.nbr, state.deg
+    for layer in range(L - 1, 0, -1):
         conn = valid & has_graph & (layer <= conn_top)
         st = state._replace(nbr=nbr, deg=deg)
-        return _connect_at_layer(cfg, st, layer, ids, vecs, vn, entry, conn,
-                                 cfg.max_edges)
-
-    nbr, deg, entry = lax.fori_loop(
-        0, L - 1, upper_body, (state.nbr, state.deg, entry))
+        nbr, deg, entry = _connect_at_layer(cfg, st, layer, ids, vecs, vn,
+                                            entry, conn, cfg.max_edges)
 
     conn0 = valid & has_graph
     st = state._replace(nbr=nbr, deg=deg)

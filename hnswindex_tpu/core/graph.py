@@ -77,7 +77,15 @@ class GraphState(NamedTuple):
     """Device-array pytree holding the whole index (see module docstring)."""
 
     vectors: jnp.ndarray   # (C, D) f32 (exact store)
-    vlo: jnp.ndarray       # (C, D) ranking copy (f32 or bf16, cfg.rank_dtype)
+    #: low-precision ranking copy (cfg.rank_dtype), or a 0-size sentinel
+    #: when ranking runs on the exact f32 vectors (saves C*D*4 bytes of
+    #: HBM — 4 GB at 8M x 128); read through the ``vlo`` property.
+    vlo_store: jnp.ndarray
+    #: bf16 mirror for two-stage exact scans (coarse MXU-native pass +
+    #: f32 rescore of oversampled survivors, ops/bruteforce.exact_knn2);
+    #: 0-size sentinel for custom metrics (no exact path) and when
+    #: ``vlo_store`` is already bf16 (it then serves as the coarse table).
+    coarse: jnp.ndarray
     norms: jnp.ndarray     # (C,)   f32
     level: jnp.ndarray     # (C,)   i32
     nbr: jnp.ndarray       # (L, C, K) i32
@@ -85,6 +93,20 @@ class GraphState(NamedTuple):
     active: jnp.ndarray    # (C,)   bool
     ep: jnp.ndarray        # ()     i32
     count: jnp.ndarray     # ()     i32
+
+    @property
+    def vlo(self) -> jnp.ndarray:
+        """The ranking vector table (falls back to the exact store)."""
+        return self.vectors if self.vlo_store.size == 0 else self.vlo_store
+
+    @property
+    def coarse_table(self) -> jnp.ndarray | None:
+        """bf16 table for two-stage exact scans, or None (custom metric)."""
+        if self.coarse.size:
+            return self.coarse
+        if self.vlo_store.size and self.vlo_store.dtype == jnp.bfloat16:
+            return self.vlo_store
+        return None
 
     @property
     def capacity(self) -> int:
@@ -95,21 +117,62 @@ class GraphState(NamedTuple):
         return self.nbr.shape[0]
 
 
+def make_vlo(rank_dtype, vectors: jnp.ndarray) -> jnp.ndarray:
+    """Build the ``vlo_store`` leaf for ``vectors``: a cast copy for
+    low-precision ranking, or the 0-size sentinel when the ranking dtype
+    matches the exact store (reads then alias ``vectors``)."""
+    d = jnp.dtype(rank_dtype)
+    if d == vectors.dtype:
+        return jnp.zeros((0,) + vectors.shape[1:], d)
+    return jnp.asarray(vectors, dtype=d)
+
+
+def update_vlo(state: GraphState, rows, vecs) -> jnp.ndarray:
+    """Scatter ``vecs`` into the ranking copy (no-op on the sentinel)."""
+    vs = state.vlo_store
+    if vs.size == 0:
+        return vs
+    return vs.at[rows].set(vecs.astype(vs.dtype), mode="drop")
+
+
+def make_coarse(cfg: GraphConfig, vectors: jnp.ndarray) -> jnp.ndarray:
+    """Build the ``coarse`` leaf: a bf16 cast of ``vectors``, or the 0-size
+    sentinel when no exact path exists (custom metric) or ``vlo`` already
+    provides a bf16 table."""
+    if dst.is_custom(cfg.metric) or \
+            jnp.dtype(cfg.rank_dtype) == jnp.bfloat16:
+        return jnp.zeros((0,) + vectors.shape[1:], jnp.bfloat16)
+    return jnp.asarray(vectors, dtype=jnp.bfloat16)
+
+
+def update_coarse(state: GraphState, rows, vecs) -> jnp.ndarray:
+    """Scatter ``vecs`` into the coarse mirror (no-op on the sentinel)."""
+    cs = state.coarse
+    if cs.size == 0:
+        return cs
+    return cs.at[rows].set(vecs.astype(jnp.bfloat16), mode="drop")
+
+
 def default_max_levels(capacity: int, distribution_rate: float) -> int:
     """Static level-table height: expected max level + slack.
 
     Levels are sampled as floor(-ln(U) * mL) (GraphData.cs:211-219); the
     expected maximum over N draws is ~ln(N) * mL.  Oversampled levels are
-    clamped to the table height (negligible probability with +4 slack)."""
+    clamped to the table height (+2 slack: the chance any node clamps is
+    ~1/(e^2 * mL) per corpus; clamping only shortens the descent
+    hierarchy, exactly like hnswlib's level cap)."""
     exp_max = math.log(max(capacity, 2)) * max(distribution_rate, 1e-6)
-    return max(4, int(exp_max) + 4)
+    return max(4, int(exp_max) + 2)
 
 
 def empty_state(cfg: GraphConfig, capacity: int) -> GraphState:
     C, D, L, K = capacity, cfg.dim, cfg.max_levels, cfg.table_width
+    lo = jnp.dtype(cfg.rank_dtype)
+    use_coarse = not dst.is_custom(cfg.metric) and lo != jnp.bfloat16
     return GraphState(
         vectors=jnp.zeros((C, D), jnp.float32),
-        vlo=jnp.zeros((C, D), jnp.dtype(cfg.rank_dtype)),
+        vlo_store=jnp.zeros((0 if lo == jnp.float32 else C, D), lo),
+        coarse=jnp.zeros((C if use_coarse else 0, D), jnp.bfloat16),
         norms=jnp.zeros((C,), jnp.float32),
         level=jnp.full((C,), -1, jnp.int32),
         nbr=jnp.full((L, C, K), -1, jnp.int32),
@@ -130,7 +193,10 @@ def grow_state(state: GraphState, new_capacity: int) -> GraphState:
     pad = new_capacity - C
     return GraphState(
         vectors=jnp.pad(state.vectors, ((0, pad), (0, 0))),
-        vlo=jnp.pad(state.vlo, ((0, pad), (0, 0))),
+        vlo_store=(state.vlo_store if state.vlo_store.size == 0 else
+                   jnp.pad(state.vlo_store, ((0, pad), (0, 0)))),
+        coarse=(state.coarse if state.coarse.size == 0 else
+                jnp.pad(state.coarse, ((0, pad), (0, 0)))),
         norms=jnp.pad(state.norms, (0, pad)),
         level=jnp.pad(state.level, (0, pad), constant_values=-1),
         nbr=jnp.pad(state.nbr, ((0, 0), (0, pad), (0, 0)),
@@ -162,7 +228,8 @@ def seed_first_node(cfg: GraphConfig, state: GraphState, slot: int,
     v = jnp.asarray(vec, jnp.float32)
     return state._replace(
         vectors=state.vectors.at[slot].set(v),
-        vlo=state.vlo.at[slot].set(v.astype(state.vlo.dtype)),
+        vlo_store=update_vlo(state, slot, v),
+        coarse=update_coarse(state, slot, v),
         norms=state.norms.at[slot].set(dst.norm_data(cfg.metric, v)),
         level=state.level.at[slot].set(jnp.int32(lvl)),
         active=state.active.at[slot].set(True),

@@ -57,6 +57,13 @@ REPAIR_FANIN = 4
 #: nearest ones; bounds the heuristic-prune width at K + FANIN * SPAN).
 REPAIR_SPAN = 48
 
+#: Span for the fan-in-1 fast tier: affected rows that lost exactly one
+#: neighbor (the overwhelming majority when wave << corpus) repair against
+#: surviving-old ∪ that one neighbor's candidates — the same reference
+#: union (GraphConnector.cs:100-131), at a quarter of the prune width and
+#: ~10x less pairwise-distance work.
+REPAIR_SPAN_1 = 48
+
 
 def _removed_mask(state: GraphState, rem_ids):
     C = state.capacity
@@ -104,9 +111,10 @@ def mark_removed(cfg: GraphConfig, state: GraphState, rem_ids):
     return state._replace(active=active, ep=ep, count=count)
 
 
-@partial(jax.jit, static_argnames=("cfg", "remove_ef", "max_iters"))
-def repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids, layer,
-                      remove_ef: int, max_iters: int):
+@partial(jax.jit, static_argnames=("cfg", "layer", "remove_ef",
+                                   "max_iters"))
+def repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids,
+                      layer: int, remove_ef: int, max_iters: int):
     """Beam search around each removed node at ``layer``
     (GraphConnector.cs:96), starting from the removed node itself, with
     removed nodes excluded from results.  Returns (R, remove_ef) ids."""
@@ -128,61 +136,99 @@ def exact_repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids,
     """Exact repair candidates: one masked MXU scan of the layer's
     population per removed node (the exact form of the reference's beam at
     GraphConnector.cs:96; the wave is already inactive so removed nodes
-    exclude themselves).  Returns (R, remove_ef) ids."""
-    from ..ops.bruteforce import exact_knn
+    exclude themselves).  Past 1M rows the scan runs two-stage (bf16
+    coarse + f32 rescore, ops/bruteforce.exact_knn2).  Returns
+    (R, remove_ef) ids."""
+    from ..ops.bruteforce import exact_knn, exact_knn2
 
     C = state.capacity
     q = state.vectors[jnp.clip(rem_ids, 0, C - 1)]
     allowed = state.active & (state.level >= layer)
-    _, ids = exact_knn(cfg.metric, state.vlo, state.norms, allowed, q,
-                       remove_ef)
+    ct = state.coarse_table
+    if ct is not None and C >= (1 << 20):
+        _, ids = exact_knn2(cfg.metric, state.vectors, ct, state.norms,
+                            allowed, q, remove_ef, oversample=2)
+    else:
+        _, ids = exact_knn(cfg.metric, state.vlo, state.norms, allowed, q,
+                           remove_ef)
     return jnp.where(rem_ids[:, None] >= 0, ids, -1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def affected_masks_all(cfg: GraphConfig, state: GraphState, rem_ids):
-    """(L, C) affected masks for every layer in one pass.
+    """(L, C) affected + multi-loss masks for every layer in one pass.
 
     Edges into removed nodes are never *added* during repair, so the
     per-layer in-neighbor sets depend only on the pre-repair state — one
     table scan + one host readback serves the whole wave (each readback
-    costs ~35 ms through remote runtimes)."""
-    C = state.capacity
-    rmask = _removed_mask(state, rem_ids)
-    hit = (state.nbr >= 0) & rmask[jnp.clip(state.nbr, 0, C - 1)]
-    return jnp.any(hit, axis=2) & state.active[None, :]
+    costs ~35 ms through remote runtimes).  Returns ``(affected, multi)``:
+    ``multi`` marks rows that lost 2+ neighbors and need the wide repair
+    union; everyone else takes the fan-in-1 fast tier.
 
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def clear_removed_rows_all(cfg: GraphConfig, state: GraphState, rem_ids):
-    """Erase removed nodes' out-edges at every layer (single scatter)."""
+    Scanned in bounded row blocks sliced straight off the 3-D table:
+    using a whole (C, K) slice as one gather-index tensor makes XLA
+    materialize it in a lane-padded layout (4x HBM — OOM at 8M rows);
+    per-block dynamic slices cap the transient at block size."""
     C = state.capacity
     K = state.nbr.shape[2]
-    L = state.num_levels
+    rmask = _removed_mask(state, rem_ids)
+    blocks = max(1, C >> 19)          # <= 512k rows per step
+    rows = C // blocks
+    aff, mul = [], []
+    for l in range(state.num_levels):
+        def body(i, acc):
+            blk = lax.dynamic_slice(state.nbr, (l, i * rows, 0),
+                                    (1, rows, K))[0]
+            hit = (blk >= 0) & rmask[jnp.clip(blk, 0, C - 1)]
+            nh = jnp.sum(hit, axis=1, dtype=jnp.int32)
+            return lax.dynamic_update_slice(acc, nh, (i * rows,))
+
+        nhit = lax.fori_loop(0, blocks, body, jnp.zeros((C,), jnp.int32))
+        a = (nhit > 0) & state.active
+        aff.append(a)
+        mul.append(a & (nhit >= 2))
+    return jnp.stack(aff), jnp.stack(mul)
+
+
+@partial(jax.jit, donate_argnames=("nbr_l", "deg_l"))
+def _clear_rows_slice(nbr_l, deg_l, rem_ids):
+    """Erase removed nodes' out-edges in one layer's (C, K) slice.
+
+    Runs on the per-layer slice inside the repair flow: scatter-only
+    programs against the full (L, C, K) table make XLA materialize a
+    transposed copy of the whole table at 8M rows."""
+    C = nbr_l.shape[0]
     rowd = jnp.where(rem_ids >= 0, rem_ids, C)
-    nbr = state.nbr.at[:, rowd, :].set(
-        jnp.full((L, rem_ids.shape[0], K), -1, jnp.int32), mode="drop")
-    deg = state.deg.at[:, rowd].set(0, mode="drop")
-    return state._replace(nbr=nbr, deg=deg)
+    blank = jnp.full((rem_ids.shape[0], nbr_l.shape[1]), -1, jnp.int32)
+    return (nbr_l.at[rowd].set(blank, mode="drop"),
+            deg_l.at[rowd].set(0, mode="drop"))
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_deg"),
-         donate_argnames=("state",))
-def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
-                 scand, layer, max_deg: int):
-    """Re-select edges for a chunk of affected nodes at ``layer``.
+@partial(jax.jit, static_argnames=("cfg", "max_deg", "fanin", "span"),
+         donate_argnames=("nbr_l", "deg_l"))
+def repair_chunk(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, chunk_ids,
+                 rem_ids, scand, max_deg: int,
+                 fanin: int = REPAIR_FANIN, span: int = REPAIR_SPAN):
+    """Re-select edges for a chunk of affected nodes at one layer.
+
+    Operates on the layer's (C, K) table slice (``nbr_l``/``deg_l``,
+    donated and updated in place — shipping the whole (L, C, K) table
+    through every chunk program costs full-table copies at 8M rows);
+    the host slices once per (wave, layer) and writes the slice back.
 
     ``chunk_ids (B,)`` affected nodes (-1 pad); ``rem_ids (R,)`` the removal
     wave; ``scand (R, E)`` their repair candidates.  Candidate set per node
     = surviving old neighbors ∪ repair candidates of each of its removed
-    neighbors (up to REPAIR_FANIN of them, REPAIR_SPAN candidates each),
+    neighbors (up to ``fanin`` of them, ``span`` candidates each),
     deduplicated and excluding itself / removed nodes
-    (GraphConnector.cs:100-131)."""
+    (GraphConnector.cs:100-131).  The host dispatches rows that lost
+    exactly one neighbor with ``fanin=1`` (a quarter of the prune width);
+    multi-loss rows take the wide variant.  Returns (nbr_l, deg_l)."""
     B = chunk_ids.shape[0]
-    C = state.capacity
-    K = state.nbr.shape[2]
-    layer = jnp.asarray(layer, jnp.int32)
-    rmask = _removed_mask(state, rem_ids)
+    C = nbr_l.shape[0]
+    K = nbr_l.shape[1]
+    rmask = jnp.zeros((C + 1,), bool).at[
+        jnp.where(rem_ids >= 0, rem_ids, C)].set(True)[:C]
     # position of each removed id in the wave, for scand lookup
     R = rem_ids.shape[0]
     rpos = jnp.zeros((C + 1,), jnp.int32).at[
@@ -191,16 +237,15 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
 
     ok = chunk_ids >= 0
     uc = jnp.clip(chunk_ids, 0, C - 1)
-    nbr_l = lax.dynamic_index_in_dim(state.nbr, layer, 0, keepdims=False)
     old = nbr_l[uc]                                     # (B, K)
     old_valid = (old >= 0) & ok[:, None]
     oldc = jnp.clip(old, 0, C - 1)
     old_removed = old_valid & rmask[oldc]
     surviving = old_valid & ~old_removed
 
-    # up to REPAIR_FANIN removed neighbors per row, their candidate spans
-    T = min(REPAIR_FANIN, K)
-    E = min(REPAIR_SPAN, scand.shape[1])
+    # up to ``fanin`` removed neighbors per row, their candidate spans
+    T = min(fanin, K)
+    E = min(span, scand.shape[1])
     slot_rank = jnp.argsort(~old_removed, axis=1, stable=True)[:, :T]
     vids = jnp.take_along_axis(old, slot_rank, axis=1)           # (B, T)
     v_ok = jnp.take_along_axis(old_removed, slot_rank, axis=1)
@@ -226,18 +271,53 @@ def repair_chunk(cfg: GraphConfig, state: GraphState, chunk_ids, rem_ids,
 
     cand = jnp.concatenate([jnp.where(surviving, old, -1),
                             jnp.where(sr_valid, srow, -1)], axis=1)
-    sel, cnt = _prune_rows(cfg, state.vlo, state.norms, chunk_ids, cand,
-                           ok, max_deg)
+    sel, cnt = _prune_rows(cfg, vlo, norms, chunk_ids, cand, ok, max_deg)
     selpad = jnp.full((B, K), -1, jnp.int32).at[:, :max_deg].set(sel)
     rowd = jnp.where(ok, chunk_ids, C)
-    nbr = state.nbr.at[layer, rowd].set(selpad, mode="drop")
-    deg = state.deg.at[layer, rowd].set(cnt, mode="drop")
-    return state._replace(nbr=nbr, deg=deg)
+    nbr_l = nbr_l.at[rowd].set(selpad, mode="drop")
+    deg_l = deg_l.at[rowd].set(cnt, mode="drop")
+    return nbr_l, deg_l
+
+
+#: Affected-row chunk ladder: rows are padded to the smallest fitting
+#: bucket so a handful of compilations serve any affected-set size.
+CHUNK_BUCKETS = (1024, 4096)
+
+
+@partial(jax.jit, static_argnames=("layer",))
+def _slice_layer(state: GraphState, layer: int):
+    return state.nbr[layer], state.deg[layer]
+
+
+@partial(jax.jit, static_argnames=("layer",),
+         donate_argnames=("state", "nbr_l", "deg_l"))
+def _writeback_layer(state: GraphState, nbr_l, deg_l, layer: int):
+    return state._replace(nbr=state.nbr.at[layer].set(nbr_l),
+                          deg=state.deg.at[layer].set(deg_l))
+
+
+def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scand,
+                 max_deg: int, fanin: int, span: int):
+    """Dispatch ``rows`` through repair_chunk in bucketed chunks,
+    threading the donated layer slices."""
+    import numpy as np
+
+    i = 0
+    while i < rows.size:
+        take = rows[i:i + CHUNK_BUCKETS[-1]]
+        b = next(cb for cb in CHUNK_BUCKETS if cb >= min(
+            take.size, CHUNK_BUCKETS[-1]))
+        cpad = np.full(b, -1, dtype=np.int32)
+        cpad[:take.size] = take
+        nbr_l, deg_l = repair_chunk(cfg, vlo, norms, nbr_l, deg_l,
+                                    jnp.asarray(cpad), rem_j, scand,
+                                    max_deg, fanin, span)
+        i += take.size
+    return nbr_l, deg_l
 
 
 def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
-                      remove_ef: int, remove_buckets=(1, 64, 512),
-                      affected_chunk: int = 1024,
+                      remove_ef: int, remove_buckets=(8, 64, 512, 4096),
                       exact_candidates: bool | None = None):
     """Host-driven removal of ``arr`` (numpy int32 ids) from a GraphState.
 
@@ -245,7 +325,12 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
     the sharded index.  Returns the new state; callers own free-list /
     count bookkeeping.  ``exact_candidates`` selects MXU brute-force repair
     candidates (defaults to on for built-in metrics — exact and cheaper
-    than per-node beams at any corpus the exact build path also serves)."""
+    than per-node beams at any corpus the exact build path also serves).
+
+    Affected rows are repaired in two tiers: rows that lost exactly one
+    neighbor (the overwhelming majority when wave << corpus) union only
+    that neighbor's candidates (fanin=1 — narrow prune, ~10x less pairwise
+    work); rows that lost several use the wide REPAIR_FANIN union."""
     import numpy as np
 
     from ..ops import distance as dst
@@ -273,22 +358,29 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
 
         state = mark_removed(cfg, state, rem_j)
         top = int(lvl[wave].max())
-        aff_all = np.asarray(affected_masks_all(cfg, state, rem_j))
+        aff_j, multi_j = affected_masks_all(cfg, state, rem_j)
+        aff_all = np.asarray(aff_j)
+        multi_all = np.asarray(multi_j)
         for l in range(top, -1, -1):
-            layer = jnp.asarray(l, jnp.int32)
             if exact_candidates:
-                scand = exact_repair_candidates(cfg, state, rem_j, layer,
-                                                remove_ef)
+                scand = exact_repair_candidates(
+                    cfg, state, rem_j, jnp.asarray(l, jnp.int32), remove_ef)
             else:
-                scand = repair_candidates(cfg, state, rem_j, layer,
+                scand = repair_candidates(cfg, state, rem_j, l,
                                           remove_ef, max_iters)
-            aff = np.flatnonzero(aff_all[l])
             max_deg = cfg.max_degree(l == 0)
-            for cstart in range(0, aff.size, affected_chunk):
-                chunk = aff[cstart:cstart + affected_chunk]
-                cpad = np.full(affected_chunk, -1, dtype=np.int32)
-                cpad[:chunk.size] = chunk
-                state = repair_chunk(cfg, state, jnp.asarray(cpad), rem_j,
-                                     scand, layer, max_deg)
-        state = clear_removed_rows_all(cfg, state, rem_j)
+            fast = np.flatnonzero(aff_all[l] & ~multi_all[l])
+            slow = np.flatnonzero(multi_all[l])
+            nbr_l, deg_l = _slice_layer(state, l)
+            nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
+                                        nbr_l, deg_l, fast, rem_j, scand,
+                                        max_deg, 1, REPAIR_SPAN_1)
+            nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
+                                        nbr_l, deg_l, slow, rem_j, scand,
+                                        max_deg, REPAIR_FANIN, REPAIR_SPAN)
+            # removed nodes' own rows at this layer die with the repair
+            # pass (the repair search above never traverses edges, so
+            # ordering is safe)
+            nbr_l, deg_l = _clear_rows_slice(nbr_l, deg_l, rem_j)
+            state = _writeback_layer(state, nbr_l, deg_l, l)
     return state

@@ -106,6 +106,10 @@ def greedy_descent(cfg: GraphConfig, state: GraphState,
     def cond(c):
         return (c.it < max_iters) & jnp.any(active_of(c))
 
+    # NOTE: this 3-D [layer, node] gather gets a compact operand layout at
+    # batch width >= 8; at width 1 XLA materializes a lane-padded copy of
+    # the whole table (4x HBM — OOM at 8M rows), which is why every host
+    # bucket ladder starts at 8 (index.WAVE_BUCKETS et al.).
     def body(c):
         act = active_of(c)
         layc = jnp.clip(c.lay, 0, L - 1)
@@ -183,12 +187,12 @@ def _dedupe_new(nid, fresh, pool_ids):
     return fresh & ~in_pool & ~dup_self
 
 
-@partial(jax.jit, static_argnames=("cfg", "ef", "max_iters", "filtered",
-                                   "expand"))
+@partial(jax.jit, static_argnames=("cfg", "layer", "ef", "max_iters",
+                                   "filtered", "expand"))
 def beam_search(cfg: GraphConfig, state: GraphState,
                 q: jnp.ndarray, qn: jnp.ndarray,
                 ep: jnp.ndarray, ep_ok: jnp.ndarray,
-                layer, ef: int, max_iters: int,
+                layer: int, ef: int, max_iters: int,
                 filtered: bool = False,
                 filter_mask: jnp.ndarray | None = None,
                 expand: int = 1):
@@ -198,7 +202,9 @@ def beam_search(cfg: GraphConfig, state: GraphState,
       q (B, D), qn (B,): queries and their norm data.
       ep (B,): per-query entry node (from greedy_descent); ep_ok masks
         queries with a valid entry (inactive queries return empty pools).
-      layer: traced scalar layer index.
+      layer: static layer index (a static slice of the neighbor table
+        aliases the parameter; a traced index would copy the whole
+        (C, K) layer slice per call).
       ef: static pool width (= max(MinNN, k) for queries, HNSWIndex.cs:115;
         = MaxCandidates during construction, GraphConnector.cs:189).
       filtered/filter_mask: optional (C,) bool of allowed result ids.
@@ -216,8 +222,7 @@ def beam_search(cfg: GraphConfig, state: GraphState,
     C = state.capacity
     P = min(expand, ef)
     rows = jnp.arange(B)
-    nbr_l = lax.dynamic_index_in_dim(state.nbr, jnp.asarray(layer, jnp.int32),
-                                     axis=0, keepdims=False)  # (C, K)
+    nbr_l = state.nbr[int(layer)]                            # (C, K)
     K = nbr_l.shape[1]
 
     epc = jnp.clip(ep, 0, C - 1)
@@ -298,11 +303,12 @@ class _RangeCarry(NamedTuple):
     it: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool", "max_iters", "filtered"))
+@partial(jax.jit, static_argnames=("cfg", "layer", "pool", "max_iters",
+                                   "filtered"))
 def range_search(cfg: GraphConfig, state: GraphState,
                  q: jnp.ndarray, qn: jnp.ndarray,
                  ep: jnp.ndarray, ep_ok: jnp.ndarray,
-                 layer, radius, pool: int, max_iters: int,
+                 layer: int, radius, pool: int, max_iters: int,
                  filtered: bool = False,
                  filter_mask: jnp.ndarray | None = None):
     """All nodes within ``radius``, BFS over the in-range subgraph.
@@ -325,8 +331,7 @@ def range_search(cfg: GraphConfig, state: GraphState,
     B = q.shape[0]
     C = state.capacity
     rows = jnp.arange(B)
-    nbr_l = lax.dynamic_index_in_dim(state.nbr, jnp.asarray(layer, jnp.int32),
-                                     axis=0, keepdims=False)
+    nbr_l = state.nbr[int(layer)]
 
     if ep.ndim == 1:
         ep = ep[:, None]
@@ -388,10 +393,10 @@ def range_search(cfg: GraphConfig, state: GraphState,
 # Full query pipelines (FindEntryPointQuery + SearchLayerQuery)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "ef", "max_iters", "filtered",
-                                   "expand"))
+@partial(jax.jit, static_argnames=("cfg", "layer", "ef", "max_iters",
+                                   "filtered", "expand"))
 def knn_search(cfg: GraphConfig, state: GraphState, q: jnp.ndarray,
-               layer, ef: int, max_iters: int,
+               layer: int, ef: int, max_iters: int,
                filtered: bool = False,
                filter_mask: jnp.ndarray | None = None,
                expand: int = 1):

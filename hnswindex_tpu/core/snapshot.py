@@ -142,7 +142,8 @@ def load(path: str):
         vecs = jnp.asarray(np.pad(z["vectors"], ((0, pad), (0, 0))))
         state = GraphState(
             vectors=vecs,
-            vlo=vecs,  # re-cast by the caller per its rank_dtype
+            vlo_store=vecs[:0],  # rebuilt by the caller per its rank_dtype
+            coarse=jnp.zeros((0,) + vecs.shape[1:], jnp.bfloat16),
             norms=jnp.asarray(np.pad(z["norms"], (0, pad))),
             level=jnp.asarray(np.pad(z["level"], (0, pad),
                                      constant_values=-1)),

@@ -52,15 +52,18 @@ def resolve_rank_dtype(pref: str) -> str:
         return pref
     return "float32"
 
-WAVE_BUCKETS = (1, 8, 64, 512)
-UPPER_BUCKETS = (1, 8, 64, 512)
-QUERY_BUCKETS = (1, 16, 128, 1024)
+# Bucket ladders start at 8: at batch width 1 XLA's layout assignment
+# materializes the (C, K) neighbor-table slice in a lane-padded T(8,128)
+# layout (K=32 -> 128, a 4x HBM blowup that OOMs at 8M rows); width >= 8
+# always gets the compact layout, and padding one item to 8 lanes is free.
+WAVE_BUCKETS = (8, 64, 512)
+UPPER_BUCKETS = (8, 64, 512)
+QUERY_BUCKETS = (8, 16, 128, 1024)
 # Removal waves: each affected node repairs against the union of
 # candidates from (up to REPAIR_FANIN of) its removed neighbors — the
 # reference's per-in-edge union semantics (GraphConnector.cs:100-131) —
 # so large waves keep repair quality and amortize per-wave dispatches.
-REMOVE_BUCKETS = (1, 64, 512)
-AFFECTED_CHUNK = 1024
+REMOVE_BUCKETS = (8, 64, 512, 4096)
 # range-search result-pool ladder; radii covering more than the cap are
 # answered by an exact scan instead of unbounded pool growth
 RANGE_POOLS = (64, 512, 4096)
@@ -254,8 +257,7 @@ class HNSWIndex:
         with profiler.phase("remove"):
             self._state = R.remove_from_state(
                 self._cfg, self._state, arr,
-                self.params.remove_max_candidates, REMOVE_BUCKETS,
-                AFFECTED_CHUNK)
+                self.params.remove_max_candidates, REMOVE_BUCKETS)
         self._free.extend(int(x) for x in arr)
         self._count_host -= int(arr.size)
         return
@@ -439,7 +441,7 @@ class HNSWIndex:
                 else:
                     _, ids = knn_search(
                         self._cfg, self._state, jnp.asarray(qpad),
-                        jnp.asarray(layer, jnp.int32), ef, max_iters,
+                        int(layer), ef, max_iters,
                         filtered=fmask is not None, filter_mask=fmask,
                         expand=expand)
                 out[i:i + w] = np.asarray(ids)[:w]
@@ -485,9 +487,16 @@ class HNSWIndex:
                 allowed = self._state.active
                 if layer > 0:
                     allowed = allowed & (self._state.level >= layer)
-                _, ids = exact_knn(self.metric, self._state.vlo,
-                                   self._state.norms, allowed,
-                                   jnp.asarray(sub), eff)
+                ct = self._state.coarse_table
+                if ct is not None and eff <= 256:
+                    from .ops.bruteforce import exact_knn2
+                    _, ids = exact_knn2(self.metric, self._state.vectors,
+                                        ct, self._state.norms, allowed,
+                                        jnp.asarray(sub), eff)
+                else:
+                    _, ids = exact_knn(self.metric, self._state.vlo,
+                                       self._state.norms, allowed,
+                                       jnp.asarray(sub), eff)
                 ids = np.asarray(ids)
             else:
                 ids = self._search_ids(sub, ef, layer, None)
@@ -514,14 +523,16 @@ class HNSWIndex:
                 "exact=True requires a dot-decomposable built-in metric; "
                 f"custom metric {self.metric!r} is served by the graph "
                 "path")
-        from .ops.bruteforce import exact_knn
+        from .ops.bruteforce import exact_knn, exact_knn2
         n = q.shape[0]
-        allowed = self._state.active
+        st = self._state
+        allowed = st.active
         if layer > 0:
-            allowed = allowed & (self._state.level >= layer)
+            allowed = allowed & (st.level >= layer)
         fmask = self._build_filter_mask(filter_fnc)
         if fmask is not None:
             allowed = allowed & fmask
+        ct = st.coarse_table
         out_ids = np.empty((n, k), np.int32)
         out_d = np.empty((n, k), np.float32)
         i = 0
@@ -530,9 +541,12 @@ class HNSWIndex:
             b = _bucket(w, QUERY_BUCKETS)
             qpad = np.zeros((b, self.dim), np.float32)
             qpad[:w] = q[i:i + w]
-            _, ids = exact_knn(self.metric, self._state.vectors,
-                               self._state.norms, allowed,
-                               jnp.asarray(qpad), k)
+            if ct is not None:
+                _, ids = exact_knn2(self.metric, st.vectors, ct, st.norms,
+                                    allowed, jnp.asarray(qpad), k)
+            else:
+                _, ids = exact_knn(self.metric, st.vectors, st.norms,
+                                   allowed, jnp.asarray(qpad), k)
             out_ids[i:i + w], out_d[i:i + w] = self._refine(
                 q[i:i + w], np.asarray(ids)[:w], k)
             i += w
@@ -681,12 +695,12 @@ class HNSWIndex:
         # not connected to the greedy entry through in-range nodes
         seed_ef = 16
         _, seeds = knn_search(self._cfg, self._state, qj,
-                              jnp.asarray(layer, jnp.int32), seed_ef,
+                              int(layer), seed_ef,
                               self._cfg.search_iter_factor * seed_ef + 16)
         return range_search(
             self._cfg, self._state, qj, qn, seeds,
             jnp.broadcast_to(ep_ok[:, None], seeds.shape),
-            jnp.asarray(layer, jnp.int32), jnp.float32(radius), pool,
+            int(layer), jnp.float32(radius), pool,
             pool * 4 + 16, filtered=fmask is not None, filter_mask=fmask)
 
     def multi_layer_knn_query(self, query, k: int,
@@ -703,7 +717,10 @@ class HNSWIndex:
         if self._count_host <= 0 or k < 1:
             return []
         q = _as_2d_f32(query, self.dim)[:1]
-        qj = jnp.asarray(q)
+        # batch-1 programs take the padded-layout path (see bucket-ladder
+        # note above) — pad the single query to 8 lanes
+        B = QUERY_BUCKETS[0]
+        qj = jnp.asarray(np.broadcast_to(q, (B, q.shape[1])))
         qn = dst.norm_data(self.metric, qj)
         ep = int(self._state.ep)
         ep_level = int(np.asarray(self._state.level)[ep])
@@ -712,9 +729,9 @@ class HNSWIndex:
         if ep_level >= max_layer:
             entry, _ = greedy_descent(
                 self._cfg, self._state, qj, qn,
-                jnp.asarray([ep], jnp.int32),
-                jnp.asarray([ep_level], jnp.int32),
-                jnp.asarray([max_layer], jnp.int32))
+                jnp.full((B,), ep, jnp.int32),
+                jnp.full((B,), ep_level, jnp.int32),
+                jnp.full((B,), max_layer, jnp.int32))
             ep = int(entry[0])
             ep_level = max_layer if ep_level > max_layer else ep_level
 
@@ -725,8 +742,8 @@ class HNSWIndex:
         for layer in range(top, min_layer - 1, -1):
             _, ids = beam_search(
                 self._cfg, self._state, qj, qn,
-                jnp.asarray([ep], jnp.int32), jnp.asarray([True]),
-                jnp.asarray(layer, jnp.int32), k, max_iters)
+                jnp.full((B,), ep, jnp.int32), jnp.ones((B,), bool),
+                int(layer), k, max_iters)
             ids_np = np.asarray(ids)[0]
             rid, rd = self._refine(q, ids_np[None, :], k)
             valid = rid[0] >= 0
@@ -768,8 +785,8 @@ class HNSWIndex:
             build_expand=params.build_expand,
             rank_dtype=resolve_rank_dtype(params.rank_dtype))
         idx._state = state._replace(
-            vlo=jnp.array(state.vectors,
-                          dtype=jnp.dtype(idx._cfg.rank_dtype), copy=True))
+            vlo_store=G.make_vlo(idx._cfg.rank_dtype, state.vectors),
+            coarse=G.make_coarse(idx._cfg, state.vectors))
         seed = params.random_seed if params.random_seed >= 0 else None
         idx._rng = np.random.default_rng(seed)
         idx._free = free
@@ -813,9 +830,8 @@ class HNSWIndex:
         vj = jnp.asarray(vec)
         idx._state = st._replace(
             vectors=vj,
-            # explicit copy: astype to the same dtype aliases the buffer,
-            # and aliased fields break donation
-            vlo=jnp.array(vj, dtype=st.vlo.dtype, copy=True),
+            vlo_store=G.make_vlo(idx._cfg.rank_dtype, vj),
+            coarse=G.make_coarse(idx._cfg, vj),
             norms=dst.norm_data(metric, vj),
             level=jnp.asarray(lvl),
             nbr=jnp.asarray(nbr),
@@ -826,6 +842,139 @@ class HNSWIndex:
         idx._length = length
         idx._free = [int(x) for x in free]
         idx._count_host = int(count)
+        return idx
+
+    def to_reference_snapshot(self, path: str) -> None:
+        """Write a snapshot in the reference's protobuf-net wire format
+        (HNSWIndexSnapshot.cs + GraphDataSnapshot.cs), loadable by the
+        .NET library's ``HNSWIndex<float[], float>.Deserialize``.
+
+        In-edge lists are reconstructed from the out-edge table (the
+        reference maintains them explicitly when AllowRemovals,
+        GraphData.cs:227-233; ours are recovered by transposition — the
+        mirror invariant makes both identical)."""
+        from .core import refsnap
+
+        st = self._state
+        nbr = np.asarray(st.nbr)
+        deg = np.asarray(st.deg)
+        lvl = np.asarray(st.level)
+        act = np.asarray(st.active)
+        vec = self._host_vecs()
+        length = self._length
+        freed = set(self._free)
+
+        # per-layer in-edge transposition (only when removals are enabled)
+        in_lists: List[dict] = []
+        if self.params.allow_removals:
+            for l in range(st.num_levels):
+                on = np.flatnonzero(act & (lvl >= l))
+                if on.size == 0:
+                    in_lists.append({})
+                    continue
+                d = deg[l, on]
+                srcs = np.repeat(on, d).astype(np.int32)
+                cols = np.concatenate(
+                    [nbr[l, u, :deg[l, u]] for u in on]) if d.sum() else \
+                    np.empty(0, np.int32)
+                order = np.argsort(cols, kind="stable")
+                cols_s, srcs_s = cols[order], srcs[order]
+                bounds = np.searchsorted(
+                    cols_s, np.arange(st.capacity + 1))
+                in_lists.append(
+                    {v: srcs_s[bounds[v]:bounds[v + 1]]
+                     for v in np.unique(cols_s)})
+        else:
+            in_lists = [{} for _ in range(st.num_levels)]
+
+        nodes = []
+        for s in range(length):
+            if s in freed or not act[s]:
+                # freed slot: the reference keeps the Node object with
+                # IsRemoved=true and emptied edge lists
+                top = max(int(lvl[s]), 0)
+                nodes.append(refsnap.RefNode(
+                    id=s, is_removed=True,
+                    out_edges=[np.empty(0, np.int32)] * (top + 1),
+                    in_edges=[np.empty(0, np.int32)] * (top + 1)
+                    if self.params.allow_removals else []))
+                continue
+            top = int(lvl[s])
+            outs = [nbr[l, s, :deg[l, s]].astype(np.int32)
+                    for l in range(top + 1)]
+            ins = [np.asarray(in_lists[l].get(s, np.empty(0, np.int32)),
+                              np.int32) for l in range(top + 1)] \
+                if self.params.allow_removals else []
+            nodes.append(refsnap.RefNode(id=s, is_removed=False,
+                                         out_edges=outs, in_edges=ins))
+
+        snap = refsnap.RefSnapshot(
+            params=self.params,
+            nodes=nodes,
+            items=[vec[s] for s in range(length)],
+            active=np.flatnonzero(act[:length]).astype(np.int32),
+            removed=list(self._free),
+            entry_point=int(np.asarray(st.ep)),
+            capacity=st.capacity,
+            length=length,
+            count=self._count_host)
+        refsnap.write_snapshot(path, snap)
+
+    @classmethod
+    def from_reference_snapshot(cls, path: str, metric: str = "sq_euclid"
+                                ) -> "HNSWIndex":
+        """Load a snapshot produced by the reference .NET library
+        (``index.Serialize(path)``, HNSWIndex.cs:210-217).  The distance
+        function is code-not-data in the reference (re-supplied at
+        Deserialize, HNSWIndex.cs:222), so ``metric`` is an argument."""
+        from .core import refsnap
+        from .ops import distance as dstm
+
+        snap = refsnap.read_snapshot(path)
+        if not snap.items:
+            raise ValueError("reference snapshot holds no items")
+        dim = int(snap.items[0].size)
+        params = snap.params
+        params.collection_size = max(snap.capacity, 2)
+        idx = cls(dim, metric, params)
+        idx._grow_to(max(snap.length, 1))
+        st = idx._state
+        C = st.capacity
+        L = st.num_levels
+        K = st.nbr.shape[2]
+        nbr = np.full((L, C, K), -1, np.int32)
+        deg = np.zeros((L, C), np.int32)
+        lvl = np.full(C, -1, np.int32)
+        act = np.zeros(C, bool)
+        vec = np.zeros((C, dim), np.float32)
+        active_set = set(int(x) for x in snap.active)
+        for i, node in enumerate(snap.nodes):
+            s = node.id
+            if s < 0 or s >= C:
+                continue
+            if i < len(snap.items):
+                vec[s] = snap.items[i]
+            lvl[s] = min(node.max_layer, L - 1)
+            act[s] = (not node.is_removed) and (s in active_set)
+            for l, e in enumerate(node.out_edges[:L]):
+                e = e[:K]
+                nbr[l, s, :e.size] = e
+                deg[l, s] = e.size
+        vj = jnp.asarray(vec)
+        idx._state = st._replace(
+            vectors=vj,
+            vlo_store=G.make_vlo(idx._cfg.rank_dtype, vj),
+            coarse=G.make_coarse(idx._cfg, vj),
+            norms=dstm.norm_data(metric, vj),
+            level=jnp.asarray(lvl),
+            nbr=jnp.asarray(nbr),
+            deg=jnp.asarray(deg),
+            active=jnp.asarray(act),
+            ep=jnp.asarray(snap.entry_point, jnp.int32),
+            count=jnp.asarray(snap.count, jnp.int32))
+        idx._length = snap.length
+        idx._free = [int(x) for x in snap.removed]
+        idx._count_host = snap.count
         return idx
 
     def items(self) -> np.ndarray:

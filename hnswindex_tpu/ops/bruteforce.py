@@ -98,6 +98,76 @@ def exact_knn(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
     return bd, bi
 
 
+@partial(jax.jit, static_argnames=("metric", "k", "block", "oversample"))
+def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
+               norms: jnp.ndarray, active: jnp.ndarray, q: jnp.ndarray,
+               k: int, block: int = _BLOCK, oversample: int = 4,
+               exclude=None):
+    """Two-stage exact top-k: bf16 coarse scan + exact f32 rescore.
+
+    Stage 1 scans the whole corpus on the MXU's native bf16 input type
+    (``coarse`` is the bf16 mirror of ``vectors``) keeping an
+    ``oversample * k`` survivor set per query; stage 2 gathers the
+    survivors' f32 rows and rescores them at full precision.  ~3-6x the
+    f32-HIGHEST scan rate; bf16 dot noise (~0.4% relative) only matters
+    if a true top-k member ranks below the oversampled cut, which the
+    f64 refinement layer above cannot repair — hence the default 4x
+    oversample (measured recall 1.000 at 1M clustered, see bench.py).
+
+    Same contract as :func:`exact_knn`."""
+    if dst.is_custom(metric):
+        raise ValueError("exact_knn2 requires a dot-decomposable metric")
+    C, D = vectors.shape
+    B = q.shape[0]
+    S = min(C, max(oversample * k, k + 16))
+    qn = dst.norm_data(metric, q)
+    qlo = q.astype(jnp.bfloat16)
+    block = min(block, C)
+    nblocks = -(-C // block)
+    Cp = nblocks * block
+    pad = Cp - C
+    if pad:
+        coarse = jnp.pad(coarse, ((0, pad), (0, 0)))
+        norms = jnp.pad(norms, (0, pad))
+        active = jnp.pad(active, (0, pad))
+
+    def body(i, carry):
+        bd, bi = carry
+        vblk = lax.dynamic_slice_in_dim(coarse, i * block, block)
+        nblk = lax.dynamic_slice_in_dim(norms, i * block, block)
+        ablk = lax.dynamic_slice_in_dim(active, i * block, block)
+        dots = jnp.einsum("bd,cd->bc", qlo, vblk,
+                          preferred_element_type=jnp.float32)
+        d = dst.from_dot(metric, dots, qn[:, None], nblk[None, :])
+        d = jnp.where(ablk[None, :], d, jnp.inf)
+        if exclude is not None:
+            ids_blk = i * block + jax.lax.broadcasted_iota(
+                jnp.int32, (B, block), 1)
+            d = jnp.where(ids_blk == exclude[:, None], jnp.inf, d)
+        vals, idx = lax.approx_min_k(d, Sb, recall_target=0.95)
+        ids = i * block + idx.astype(jnp.int32)
+        bd = lax.dynamic_update_slice_in_dim(bd, vals, i * Sb, axis=1)
+        bi = lax.dynamic_update_slice_in_dim(bi, ids, i * Sb, axis=1)
+        return bd, bi
+
+    Sb = min(S, block)
+    bd0 = jnp.full((B, nblocks * Sb), jnp.inf, jnp.float32)
+    bi0 = jnp.full((B, nblocks * Sb), -1, jnp.int32)
+    bd, bi = lax.fori_loop(0, nblocks, body, (bd0, bi0))
+
+    # global survivor cut, then exact f32 rescore
+    order = jnp.argsort(bd, axis=1)[:, :S]
+    si = jnp.take_along_axis(bi, order, axis=1)           # (B, S)
+    sic = jnp.clip(si, 0, C - 1)
+    sd = dst.gathered(metric, q, qn, vectors[sic], norms[sic])
+    sd = jnp.where(si >= 0, sd, jnp.inf)
+    order2 = jnp.argsort(sd, axis=1)[:, :k]
+    fd = jnp.take_along_axis(sd, order2, axis=1)
+    fi = jnp.take_along_axis(si, order2, axis=1)
+    fi = jnp.where(jnp.isfinite(fd), fi, -1)
+    return fd, fi
+
+
 @partial(jax.jit, static_argnames=("metric", "block"))
 def range_count(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
                 active: jnp.ndarray, q: jnp.ndarray, radius,

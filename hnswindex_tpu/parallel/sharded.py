@@ -275,15 +275,16 @@ class ShardedIndex:
     # queries
     # ------------------------------------------------------------------
 
-    def _query_fn(self, ef: int, max_iters: int, filtered: bool):
+    def _query_fn(self, ef: int, max_iters: int, filtered: bool,
+                  layer: int):
         cfg = self._cfg
         C = self.shard_capacity
         expand = max(1, self.params.query_expand)
 
         def build():
-            def run(st, q, layer, fm):
+            def run(st, q, fm):
                 local = _squeeze(st)
-                d, i = knn_search(cfg, local, q, layer[0], ef, max_iters,
+                d, i = knn_search(cfg, local, q, layer, ef, max_iters,
                                   filtered=filtered,
                                   filter_mask=fm[0] if filtered else None,
                                   expand=expand)
@@ -291,13 +292,13 @@ class ShardedIndex:
                 gi = jnp.where(i >= 0, i + base, -1)
                 return d[None], gi[None]
 
-            specs = (self._state_specs(), P(), P(), P("shard"))
+            specs = (self._state_specs(), P(), P("shard"))
             shmapped = _shard_map(run, self.mesh, specs,
                                   (P("shard"), P("shard")))
 
             @jax.jit
-            def query(st, q, layer, fm):
-                d, gi = shmapped(st, q, layer, fm)   # (S, B, ef) each
+            def query(st, q, fm):
+                d, gi = shmapped(st, q, fm)          # (S, B, ef) each
                 B = q.shape[0]
                 dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
                 ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
@@ -305,8 +306,8 @@ class ShardedIndex:
                 return sd[:, :ef], si[:, :ef]
 
             return query
-        return self._cached(("query", ef, max_iters, filtered, expand),
-                            build)
+        return self._cached(
+            ("query", ef, max_iters, filtered, expand, layer), build)
 
     def _exact_query_fn(self, k: int, filtered: bool):
         cfg = self._cfg
@@ -319,8 +320,14 @@ class ShardedIndex:
                 allowed = local.active & (local.level >= layer[0])
                 if filtered:
                     allowed = allowed & fm[0]
-                d, i = exact_knn(cfg.metric, local.vlo, local.norms,
-                                 allowed, q, k)
+                ct = local.coarse_table
+                if ct is not None:
+                    from ..ops.bruteforce import exact_knn2
+                    d, i = exact_knn2(cfg.metric, local.vectors, ct,
+                                      local.norms, allowed, q, k)
+                else:
+                    d, i = exact_knn(cfg.metric, local.vlo, local.norms,
+                                     allowed, q, k)
                 base = lax.axis_index("shard").astype(jnp.int32) * C
                 gi = jnp.where(i >= 0, i + base, -1)
                 return d[None], gi[None]
@@ -362,24 +369,27 @@ class ShardedIndex:
                     np.full((n, k), np.nan, np.float32))
         fmask = self._global_filter_mask(filter_fnc)
         filtered = fmask is not None
-        layer_j = jnp.full((self.n_shards,), layer, jnp.int32)
         if exact:
+            layer_j = jnp.full((self.n_shards,), layer, jnp.int32)
             fn = self._exact_query_fn(k, filtered)
+            d, i = fn(self._state, jnp.asarray(q), layer_j,
+                      self._fm_or_dummy(fmask))
         else:
             ef = max(self.params.min_nn, k)
             max_iters = (self._cfg.search_iter_factor * ef) \
                 // max(1, self.params.query_expand) + 16
-            fn = self._query_fn(ef, max_iters, filtered)
-        d, i = fn(self._state, jnp.asarray(q), layer_j,
-                  self._fm_or_dummy(fmask))
+            fn = self._query_fn(ef, max_iters, filtered, int(layer))
+            d, i = fn(self._state, jnp.asarray(q),
+                      self._fm_or_dummy(fmask))
         return self._refine_global(q, np.asarray(i), k)
 
-    def _range_fn(self, pool: int, max_iters: int, filtered: bool):
+    def _range_fn(self, pool: int, max_iters: int, filtered: bool,
+                  layer: int):
         cfg = self._cfg
         C = self.shard_capacity
 
         def build():
-            def run(st, q, radius, layer, fm):
+            def run(st, q, radius, fm):
                 local = _squeeze(st)
                 B = q.shape[0]
                 qn = dst.norm_data(cfg.metric, q)
@@ -387,22 +397,23 @@ class ShardedIndex:
                 # multi-seed from a preliminary k-NN beam (see
                 # core.search.range_search)
                 seed_ef = 16
-                _, seeds = knn_search(cfg, local, q, layer[0], seed_ef,
+                _, seeds = knn_search(cfg, local, q, layer, seed_ef,
                                       cfg.search_iter_factor * seed_ef + 16)
                 d, i, sat = range_search(
                     cfg, local, q, qn, seeds,
                     jnp.broadcast_to(ep_ok[:, None], seeds.shape),
-                    layer[0], radius[0],
+                    layer, radius[0],
                     pool, max_iters, filtered=filtered,
                     filter_mask=fm[0] if filtered else None)
                 base = lax.axis_index("shard").astype(jnp.int32) * C
                 gi = jnp.where(i >= 0, i + base, -1)
                 return d[None], gi[None], sat[None]
 
-            specs = (self._state_specs(), P(), P(), P(), P("shard"))
+            specs = (self._state_specs(), P(), P(), P("shard"))
             return jax.jit(_shard_map(run, self.mesh, specs,
                                       (P("shard"), P("shard"), P("shard"))))
-        return self._cached(("range", pool, max_iters, filtered), build)
+        return self._cached(("range", pool, max_iters, filtered, layer),
+                            build)
 
     def range_query(self, queries, radius: float, filter_fnc=None,
                     layer: int = 0):
@@ -421,11 +432,10 @@ class ShardedIndex:
         fm = self._fm_or_dummy(fmask)
         S = self.n_shards
         radius_j = jnp.full((S,), radius, jnp.float32)
-        layer_j = jnp.full((S,), layer, jnp.int32)
         qj = jnp.asarray(q)
         for pool in RANGE_POOLS:
-            fn = self._range_fn(pool, pool * 4 + 16, filtered)
-            d, gi, sat = fn(self._state, qj, radius_j, layer_j, fm)
+            fn = self._range_fn(pool, pool * 4 + 16, filtered, int(layer))
+            d, gi, sat = fn(self._state, qj, radius_j, fm)
             if not bool(np.asarray(sat).any()):
                 break
         # (S, n, pool) -> per-query merged ragged rows
@@ -445,24 +455,24 @@ class ShardedIndex:
             d_out.append(rd[0][keep])
         return ids_out, d_out
 
-    def _layer_beam_fn(self, k: int, max_iters: int):
+    def _layer_beam_fn(self, k: int, max_iters: int, layer: int):
         cfg = self._cfg
         C = self.shard_capacity
 
         def build():
-            def run(st, q, layer, entry, on):
+            def run(st, q, entry, on):
                 local = _squeeze(st)
                 qn = dst.norm_data(cfg.metric, q)
                 d, i = beam_search(cfg, local, q, qn, entry[0], on[0],
-                                   layer[0], k, max_iters)
+                                   layer, k, max_iters)
                 base = lax.axis_index("shard").astype(jnp.int32) * C
                 gi = jnp.where(i >= 0, i + base, -1)
                 return d[None], gi[None], i[None, :, :1]
 
-            specs = (self._state_specs(), P(), P(), P("shard"), P("shard"))
+            specs = (self._state_specs(), P(), P("shard"), P("shard"))
             return jax.jit(_shard_map(
                 run, self.mesh, specs, (P("shard"), P("shard"), P("shard"))))
-        return self._cached(("mlayer", k, max_iters), build)
+        return self._cached(("mlayer", k, max_iters, layer), build)
 
     def multi_layer_knn_query(self, query, k: int,
                               max_layer: int = 2 ** 30, min_layer: int = 0):
@@ -486,13 +496,12 @@ class ShardedIndex:
             return []
         result = [None] * (top + 1)
         max_iters = self._cfg.search_iter_factor * k + 16
-        fn = self._layer_beam_fn(k, max_iters)
         entry = eps.astype(np.int32).reshape(S, 1)
         qj = jnp.asarray(q)
         for layer in range(top, min_layer - 1, -1):
+            fn = self._layer_beam_fn(k, max_iters, layer)
             on = ((tops >= layer) & (eps >= 0)).reshape(S, 1)
-            layer_j = jnp.full((S,), layer, jnp.int32)
-            d, gi, loc = fn(self._state, qj, layer_j,
+            d, gi, loc = fn(self._state, qj,
                             jnp.asarray(entry), jnp.asarray(on))
             gi_np = np.swapaxes(np.asarray(gi), 0, 1).reshape(1, -1)
             rid, rd = self._refine_global(q, gi_np, k)
@@ -702,7 +711,8 @@ class ShardedIndex:
             "seeded": [bool(x) for x in self._seeded],
         }
         arrays = {f: np.asarray(getattr(self._state, f))
-                  for f in self._state._fields if f != "vlo"}
+                  for f in self._state._fields
+                  if f not in ("vlo_store", "coarse")}
         np.savez_compressed(
             path,
             header=np.frombuffer(json.dumps(header).encode(), np.uint8),
@@ -730,9 +740,14 @@ class ShardedIndex:
             "collection_size/shard geometry mismatch"
         vecs = jnp.asarray(arrays["vectors"])
         state = idx._state
+        lo = jnp.dtype(idx._cfg.rank_dtype)
+        use_coarse = state.coarse.size > 0
         new_state = state.__class__(
             vectors=vecs,
-            vlo=jnp.array(vecs, dtype=state.vlo.dtype, copy=True),
+            vlo_store=(vecs[:, :0] if lo == jnp.float32 else
+                       jnp.asarray(vecs, dtype=lo)),
+            coarse=(jnp.asarray(vecs, dtype=jnp.bfloat16) if use_coarse
+                    else vecs[:, :0].astype(jnp.bfloat16)),
             norms=jnp.asarray(arrays["norms"]),
             level=jnp.asarray(arrays["level"]),
             nbr=jnp.asarray(arrays["nbr"]),

@@ -80,11 +80,14 @@ class HNSWParameters:
     #: Corpus-size ceiling for exact (MXU brute-force) candidate
     #: generation during construction.  Below this, every wave's layer-0
     #: candidates come from one blocked matmul over the corpus — faster
-    #: than graph beams on matmul hardware (measured crossover vs the beam
-    #: path is ~4M vectors on v5e) and exactly the true efConstruction
-    #: nearest neighbors.  Above it, wave beam search takes over
-    #: (O(log N) per insert).
-    exact_build_threshold: int = 1 << 22
+    #: than graph beams on matmul hardware and exactly the true
+    #: efConstruction nearest neighbors (measured: ~300k inserts/s at 1M,
+    #: ~37k/s at 8M on v5e; cost is O(count) per wave).  The default
+    #: covers everything a single chip's HBM can store at 128-d — the
+    #: designed scale-out past HBM is the sharded index, whose per-shard
+    #: waves use this same exact path at shard-local cost.  Above the
+    #: threshold, wave beam search takes over (O(log N) per insert).
+    exact_build_threshold: int = 1 << 24
 
     #: Packed-neighborhood serving for layer-0 graph queries
     #: (core/pack.py): "auto" builds the pack lazily once the corpus is
