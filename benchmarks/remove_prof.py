@@ -82,14 +82,15 @@ def main():
         t = time.perf_counter()
         nbr_l, deg_l = R._slice_layer(state, l)
         nbr_l, deg_l = R._repair_rows(cfg, state.vlo, state.norms, nbr_l,
-                                      deg_l, fast, rem_j, scand, max_deg,
-                                      1, R.REPAIR_SPAN_1)
+                                      deg_l, fast, rem_j, rem_j, scand,
+                                      max_deg, 1, R.REPAIR_SPAN_1)
         sync(deg_l)
         dt_f = time.perf_counter() - t
         t = time.perf_counter()
         nbr_l, deg_l = R._repair_rows(cfg, state.vlo, state.norms, nbr_l,
-                                      deg_l, slow, rem_j, scand, max_deg,
-                                      R.REPAIR_FANIN, R.REPAIR_SPAN)
+                                      deg_l, slow, rem_j, rem_j, scand,
+                                      max_deg, R.REPAIR_FANIN,
+                                      R.REPAIR_SPAN)
         nbr_l, deg_l = R._clear_rows_slice(nbr_l, deg_l, rem_j)
         state = R._writeback_layer(state, nbr_l, deg_l, l)
         sync(state.deg)

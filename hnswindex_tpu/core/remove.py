@@ -55,7 +55,7 @@ REPAIR_FANIN = 4
 
 #: Columns of each removed node's candidate list entering the union (the
 #: nearest ones; bounds the heuristic-prune width at K + FANIN * SPAN).
-REPAIR_SPAN = 48
+REPAIR_SPAN = 32
 
 #: Span for the fan-in-1 fast tier: affected rows that lost exactly one
 #: neighbor (the overwhelming majority when wave << corpus) repair against
@@ -113,36 +113,40 @@ def mark_removed(cfg: GraphConfig, state: GraphState, rem_ids):
 
 @partial(jax.jit, static_argnames=("cfg", "layer", "remove_ef",
                                    "max_iters"))
-def repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids,
-                      layer: int, remove_ef: int, max_iters: int):
+def repair_candidates(cfg: GraphConfig, state: GraphState, scan_ids,
+                      rem_ids, layer: int, remove_ef: int, max_iters: int):
     """Beam search around each removed node at ``layer``
     (GraphConnector.cs:96), starting from the removed node itself, with
-    removed nodes excluded from results.  Returns (R, remove_ef) ids."""
+    the whole removal wave (``rem_ids``) excluded from results.
+    ``scan_ids`` is the wave compacted to the nodes living on ``layer``
+    (-1 padded) — upper layers hold a vanishing fraction of any wave, so
+    scanning only them avoids full-wave work per layer.
+    Returns (len(scan_ids), remove_ef) ids."""
     C = state.capacity
     rmask = _removed_mask(state, rem_ids)
-    q = state.vectors[jnp.clip(rem_ids, 0, C - 1)]
-    qn = state.norms[jnp.clip(rem_ids, 0, C - 1)]
-    on_layer = (rem_ids >= 0) & (
-        state.level[jnp.clip(rem_ids, 0, C - 1)] >= layer)
-    _, ids = beam_search(cfg, state, q, qn, rem_ids, on_layer, layer,
+    q = state.vectors[jnp.clip(scan_ids, 0, C - 1)]
+    qn = state.norms[jnp.clip(scan_ids, 0, C - 1)]
+    on_layer = scan_ids >= 0
+    _, ids = beam_search(cfg, state, q, qn, scan_ids, on_layer, layer,
                          remove_ef, max_iters, filtered=True,
                          filter_mask=~rmask)
     return ids
 
 
 @partial(jax.jit, static_argnames=("cfg", "remove_ef"))
-def exact_repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids,
+def exact_repair_candidates(cfg: GraphConfig, state: GraphState, scan_ids,
                             layer, remove_ef: int):
     """Exact repair candidates: one masked MXU scan of the layer's
     population per removed node (the exact form of the reference's beam at
     GraphConnector.cs:96; the wave is already inactive so removed nodes
-    exclude themselves).  Past 1M rows the scan runs two-stage (bf16
+    exclude themselves).  ``scan_ids`` is the wave compacted to the nodes
+    living on ``layer``.  Past 1M rows the scan runs two-stage (bf16
     coarse + f32 rescore, ops/bruteforce.exact_knn2).  Returns
-    (R, remove_ef) ids."""
+    (len(scan_ids), remove_ef) ids."""
     from ..ops.bruteforce import exact_knn, exact_knn2
 
     C = state.capacity
-    q = state.vectors[jnp.clip(rem_ids, 0, C - 1)]
+    q = state.vectors[jnp.clip(scan_ids, 0, C - 1)]
     allowed = state.active & (state.level >= layer)
     ct = state.coarse_table
     if ct is not None and C >= (1 << 20):
@@ -151,7 +155,7 @@ def exact_repair_candidates(cfg: GraphConfig, state: GraphState, rem_ids,
     else:
         _, ids = exact_knn(cfg.metric, state.vlo, state.norms, allowed, q,
                            remove_ef)
-    return jnp.where(rem_ids[:, None] >= 0, ids, -1)
+    return jnp.where(scan_ids[:, None] >= 0, ids, -1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -207,7 +211,7 @@ def _clear_rows_slice(nbr_l, deg_l, rem_ids):
 @partial(jax.jit, static_argnames=("cfg", "max_deg", "fanin", "span"),
          donate_argnames=("nbr_l", "deg_l"))
 def repair_chunk(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, chunk_ids,
-                 rem_ids, scand, max_deg: int,
+                 rem_ids, scan_ids, scand, max_deg: int,
                  fanin: int = REPAIR_FANIN, span: int = REPAIR_SPAN):
     """Re-select edges for a chunk of affected nodes at one layer.
 
@@ -216,11 +220,14 @@ def repair_chunk(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, chunk_ids,
     through every chunk program costs full-table copies at 8M rows);
     the host slices once per (wave, layer) and writes the slice back.
 
-    ``chunk_ids (B,)`` affected nodes (-1 pad); ``rem_ids (R,)`` the removal
-    wave; ``scand (R, E)`` their repair candidates.  Candidate set per node
-    = surviving old neighbors ∪ repair candidates of each of its removed
-    neighbors (up to ``fanin`` of them, ``span`` candidates each),
-    deduplicated and excluding itself / removed nodes
+    ``chunk_ids (B,)`` affected nodes (-1 pad); ``rem_ids (R,)`` the whole
+    removal wave; ``scan_ids (S,)`` the wave compacted to this layer's
+    population, whose repair candidates are the rows of ``scand (S, E)``.
+    Any removed neighbor seen at this layer lives on it (neighbors of a
+    layer-l row all have level >= l), so every lookup hits ``scan_ids``.
+    Candidate set per node = surviving old neighbors ∪ repair candidates
+    of each of its removed neighbors (up to ``fanin`` of them, ``span``
+    candidates each), deduplicated and excluding itself / removed nodes
     (GraphConnector.cs:100-131).  The host dispatches rows that lost
     exactly one neighbor with ``fanin=1`` (a quarter of the prune width);
     multi-loss rows take the wide variant.  Returns (nbr_l, deg_l)."""
@@ -229,11 +236,13 @@ def repair_chunk(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, chunk_ids,
     K = nbr_l.shape[1]
     rmask = jnp.zeros((C + 1,), bool).at[
         jnp.where(rem_ids >= 0, rem_ids, C)].set(True)[:C]
-    # position of each removed id in the wave, for scand lookup
-    R = rem_ids.shape[0]
-    rpos = jnp.zeros((C + 1,), jnp.int32).at[
-        jnp.where(rem_ids >= 0, rem_ids, C)].set(
+    # position of each on-layer removed id in scand; -1 = not present
+    # (defensive: such ids contribute no candidates instead of row 0's)
+    R = scan_ids.shape[0]
+    rpos = jnp.full((C + 1,), -1, jnp.int32).at[
+        jnp.where(scan_ids >= 0, scan_ids, C)].set(
             jnp.arange(R, dtype=jnp.int32))
+    rpos = rpos.at[C].set(-1)
 
     ok = chunk_ids >= 0
     uc = jnp.clip(chunk_ids, 0, C - 1)
@@ -249,7 +258,9 @@ def repair_chunk(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, chunk_ids,
     slot_rank = jnp.argsort(~old_removed, axis=1, stable=True)[:, :T]
     vids = jnp.take_along_axis(old, slot_rank, axis=1)           # (B, T)
     v_ok = jnp.take_along_axis(old_removed, slot_rank, axis=1)
-    srow = scand[rpos[jnp.clip(vids, 0, C)]][:, :, :E]           # (B, T, E)
+    rp = rpos[jnp.clip(vids, 0, C)]                              # (B, T)
+    v_ok = v_ok & (rp >= 0)
+    srow = scand[jnp.clip(rp, 0, R - 1)][:, :, :E]               # (B, T, E)
     srow = jnp.where(v_ok[:, :, None], srow, -1).reshape(B, T * E)
 
     # dedupe: against surviving old neighbors, self, removed, and within
@@ -296,8 +307,8 @@ def _writeback_layer(state: GraphState, nbr_l, deg_l, layer: int):
                           deg=state.deg.at[layer].set(deg_l))
 
 
-def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scand,
-                 max_deg: int, fanin: int, span: int):
+def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scan_j,
+                 scand, max_deg: int, fanin: int, span: int):
     """Dispatch ``rows`` through repair_chunk in bucketed chunks,
     threading the donated layer slices."""
     import numpy as np
@@ -310,14 +321,14 @@ def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scand,
         cpad = np.full(b, -1, dtype=np.int32)
         cpad[:take.size] = take
         nbr_l, deg_l = repair_chunk(cfg, vlo, norms, nbr_l, deg_l,
-                                    jnp.asarray(cpad), rem_j, scand,
-                                    max_deg, fanin, span)
+                                    jnp.asarray(cpad), rem_j, scan_j,
+                                    scand, max_deg, fanin, span)
         i += take.size
     return nbr_l, deg_l
 
 
 def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
-                      remove_ef: int, remove_buckets=(8, 64, 512, 4096),
+                      remove_ef: int, remove_buckets=None,
                       exact_candidates: bool | None = None):
     """Host-driven removal of ``arr`` (numpy int32 ids) from a GraphState.
 
@@ -340,6 +351,15 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
         return state
     if exact_candidates is None:
         exact_candidates = not dst.is_custom(cfg.metric)
+    if remove_buckets is None:
+        # The whole removal set in ONE wave wherever memory allows: each
+        # wave re-repairs every row it affects, so splitting a big delete
+        # into waves repeats repair work on overlapping in-neighbor sets
+        # (and pays a mask readback per wave).  The candidate scan's
+        # survivor buffers scale with wave x corpus-blocks, so huge
+        # corpora cap the wave instead.
+        cap = 32768 if state.capacity <= (1 << 21) else 4096
+        remove_buckets = (8, 64, 512, 4096, cap)
     lvl = np.asarray(state.level)
     max_iters = cfg.search_iter_factor * remove_ef + 16
 
@@ -362,22 +382,35 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
         aff_all = np.asarray(aff_j)
         multi_all = np.asarray(multi_j)
         for l in range(top, -1, -1):
+            # candidate scans cover only the wave members on this layer —
+            # upper layers hold ~1/M^l of the wave, and a full-wave exact
+            # scan per layer would triple the wave's corpus-scan cost
+            if l == 0:
+                scan_j = rem_j
+            else:
+                on_l = wave[lvl[wave] >= l]
+                sb = bucket(on_l.size)
+                spad = np.full(sb, -1, dtype=np.int32)
+                spad[:on_l.size] = on_l
+                scan_j = jnp.asarray(spad)
             if exact_candidates:
                 scand = exact_repair_candidates(
-                    cfg, state, rem_j, jnp.asarray(l, jnp.int32), remove_ef)
+                    cfg, state, scan_j, jnp.asarray(l, jnp.int32),
+                    remove_ef)
             else:
-                scand = repair_candidates(cfg, state, rem_j, l,
+                scand = repair_candidates(cfg, state, scan_j, rem_j, l,
                                           remove_ef, max_iters)
             max_deg = cfg.max_degree(l == 0)
             fast = np.flatnonzero(aff_all[l] & ~multi_all[l])
             slow = np.flatnonzero(multi_all[l])
             nbr_l, deg_l = _slice_layer(state, l)
             nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
-                                        nbr_l, deg_l, fast, rem_j, scand,
-                                        max_deg, 1, REPAIR_SPAN_1)
+                                        nbr_l, deg_l, fast, rem_j, scan_j,
+                                        scand, max_deg, 1, REPAIR_SPAN_1)
             nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
-                                        nbr_l, deg_l, slow, rem_j, scand,
-                                        max_deg, REPAIR_FANIN, REPAIR_SPAN)
+                                        nbr_l, deg_l, slow, rem_j, scan_j,
+                                        scand, max_deg, REPAIR_FANIN,
+                                        REPAIR_SPAN)
             # removed nodes' own rows at this layer die with the repair
             # pass (the repair search above never traverses edges, so
             # ordering is safe)

@@ -59,14 +59,15 @@ def resolve_rank_dtype(pref: str) -> str:
 WAVE_BUCKETS = (8, 64, 512)
 UPPER_BUCKETS = (8, 64, 512)
 QUERY_BUCKETS = (8, 16, 128, 1024)
-# Removal waves: each affected node repairs against the union of
-# candidates from (up to REPAIR_FANIN of) its removed neighbors — the
-# reference's per-in-edge union semantics (GraphConnector.cs:100-131) —
-# so large waves keep repair quality and amortize per-wave dispatches.
-REMOVE_BUCKETS = (8, 64, 512, 4096)
 # range-search result-pool ladder; radii covering more than the cap are
 # answered by an exact scan instead of unbounded pool growth
 RANGE_POOLS = (64, 512, 4096)
+# Host-mirror budget for the stored vectors.  Below this the corpus is
+# mirrored once and results refine on the host in float64; above it all
+# refinement runs on device (utils/refine.refine_on_device) — host links
+# to remote accelerators move ~10s of MB/s, so multi-GB mirrors are
+# unserviceable.
+MIRROR_MAX_BYTES = 1 << 31
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
@@ -257,7 +258,7 @@ class HNSWIndex:
         with profiler.phase("remove"):
             self._state = R.remove_from_state(
                 self._cfg, self._state, arr,
-                self.params.remove_max_candidates, REMOVE_BUCKETS)
+                self.params.remove_max_candidates)
         self._free.extend(int(x) for x in arr)
         self._count_host -= int(arr.size)
         return
@@ -316,12 +317,32 @@ class HNSWIndex:
     # queries
     # ------------------------------------------------------------------
 
+    def _mirrorable(self) -> bool:
+        return self._state.capacity * self.dim * 4 <= MIRROR_MAX_BYTES
+
     def _host_vecs(self) -> np.ndarray:
         """Host mirror of the stored vectors (cached: refinement must not
-        pay a full corpus device->host transfer per query batch)."""
+        pay a full corpus device->host transfer per query batch).
+        Transferred in bounded chunks — remote-accelerator links reject
+        or crawl on multi-GB single transfers."""
         if self._host_vectors is None:
-            self._host_vectors = np.asarray(self._state.vectors)
+            C = self._state.capacity
+            chunk = 1 << 18
+            out = np.empty((C, self.dim), np.float32)
+            for i in range(0, C, chunk):
+                out[i:i + chunk] = np.asarray(
+                    self._state.vectors[i:i + chunk])
+            self._host_vectors = out
         return self._host_vectors
+
+    def _rows(self, ids) -> np.ndarray:
+        """Stored vectors for a (small) id set — host mirror when cheap,
+        device gather + small transfer otherwise."""
+        idc = np.clip(np.asarray(ids, np.int64), 0,
+                      self._state.capacity - 1)
+        if self._mirrorable():
+            return self._host_vecs()[idc]
+        return np.asarray(self._state.vectors[jnp.asarray(idc)])
 
     def _get_pack(self):
         """Lazily build the packed-neighborhood tables (core/pack.py) when
@@ -383,10 +404,16 @@ class HNSWIndex:
 
     def _refine(self, q: np.ndarray, ids: np.ndarray, k: int
                 ) -> Tuple[np.ndarray, np.ndarray]:
-        """Recompute returned distances in float64 and re-sort each row."""
-        from .utils.refine import refine_pairs
-        idc = np.clip(ids, 0, self._state.capacity - 1)
-        return refine_pairs(self.metric, q, ids, self._host_vecs()[idc], k)
+        """Recompute returned distances with the direct metric formula and
+        re-sort each row: float64 on the host while the corpus mirror is
+        affordable, direct-f32 on device beyond (utils/refine docstring)."""
+        if self._mirrorable():
+            from .utils.refine import refine_pairs
+            idc = np.clip(ids, 0, self._state.capacity - 1)
+            return refine_pairs(self.metric, q, ids,
+                                self._host_vecs()[idc], k)
+        from .utils.refine import refine_on_device
+        return refine_on_device(self.metric, self._state.vectors, q, ids, k)
 
     def knn_query(self, queries, k: int,
                   filter_fnc=None, layer: int = 0, exact: bool = False
@@ -459,23 +486,23 @@ class HNSWIndex:
         from .ops.bruteforce import exact_knn
 
         n = q.shape[0]
-        hv = self._host_vecs()
         out_ids = np.full((n, k), -1, np.int32)
         out_d = np.full((n, k), np.nan, np.float32)
         cache: dict = {}
 
+        def prefetch(ids_np):
+            """Evaluate the predicate on every new candidate id, fetching
+            their vectors in one bulk gather (no per-row device trips)."""
+            flat = np.unique(ids_np[ids_np >= 0])
+            fresh = np.asarray([x for x in flat.tolist()
+                                if x not in cache], np.int64)
+            if fresh.size:
+                rows = self._rows(fresh)
+                for x, v in zip(fresh.tolist(), rows):
+                    cache[x] = bool(pred(v))
+
         def passing(row):
-            keep = []
-            for x in row:
-                x = int(x)
-                if x < 0:
-                    continue
-                hit = cache.get(x)
-                if hit is None:
-                    hit = cache[x] = bool(pred(hv[x]))
-                if hit:
-                    keep.append(x)
-            return keep
+            return [int(x) for x in row if x >= 0 and cache[int(x)]]
 
         pending = np.arange(n)
         ef = max(self.params.min_nn, 2 * k, 16)
@@ -500,6 +527,7 @@ class HNSWIndex:
                 ids = np.asarray(ids)
             else:
                 ids = self._search_ids(sub, ef, layer, None)
+            prefetch(ids)
             still = []
             for r, qi in enumerate(pending):
                 row = ids[r]
@@ -559,12 +587,12 @@ class HNSWIndex:
         from .results import KNNResult
         ids, dists = self.knn_query(query, k, filter_fnc=filter_fnc,
                                     layer=layer)
-        vectors = self._host_vecs()
+        labels = self._rows(np.clip(ids[0], 0, None))
         out = []
-        for i, d in zip(ids[0], dists[0]):
+        for j, (i, d) in enumerate(zip(ids[0], dists[0])):
             if i < 0:
                 break
-            out.append(KNNResult(id=int(i), label=vectors[int(i)].copy(),
+            out.append(KNNResult(id=int(i), label=labels[j].copy(),
                                  distance=float(d)))
         return out
 
@@ -649,9 +677,16 @@ class HNSWIndex:
             i += w
 
         if pred is not None:
+            # bulk-fetch all result rows once, then evaluate the predicate
+            all_ids = np.unique(np.concatenate(
+                [x for x in ids_out if len(x)] or
+                [np.empty(0, np.int32)]))
+            rows = self._rows(all_ids) if all_ids.size else \
+                np.empty((0, self.dim), np.float32)
+            ok = {int(x): bool(pred(v)) for x, v in zip(all_ids, rows)}
             for i in range(n):
-                keep = np.asarray([bool(pred(self._host_vecs()[int(x)]))
-                                   for x in ids_out[i]], dtype=bool) \
+                keep = np.asarray([ok[int(x)] for x in ids_out[i]],
+                                  dtype=bool) \
                     if len(ids_out[i]) else np.zeros(0, bool)
                 ids_out[i] = ids_out[i][keep]
                 d_out[i] = d_out[i][keep]
@@ -659,8 +694,22 @@ class HNSWIndex:
 
     def _range_exact_host(self, q1: np.ndarray, radius: float, fmask
                           ) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact single-query range scan on the host vector mirror (the
-        overflow path for radii covering more than RANGE_POOLS[-1] rows)."""
+        """Exact single-query range scan (the overflow path for radii
+        covering more than RANGE_POOLS[-1] rows): float64 against the host
+        mirror when affordable, device blocked scan + one (C,) f32
+        transfer beyond."""
+        if not self._mirrorable() and not dst.is_custom(self.metric):
+            from .ops.bruteforce import range_distances
+            allowed = self._state.active
+            if fmask is not None:
+                allowed = allowed & fmask
+            d = np.asarray(range_distances(
+                self.metric, self._state.vectors, self._state.norms,
+                allowed, jnp.asarray(q1), jnp.float32(radius)))
+            hit = np.flatnonzero(np.isfinite(d))
+            order = np.argsort(d[hit], kind="stable")
+            return (hit[order].astype(np.int32),
+                    d[hit][order].astype(np.float32))
         hv = self._host_vecs().astype(np.float64)
         active = np.asarray(self._state.active)
         if fmask is not None:

@@ -155,17 +155,76 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
     bi0 = jnp.full((B, nblocks * Sb), -1, jnp.int32)
     bd, bi = lax.fori_loop(0, nblocks, body, (bd0, bi0))
 
-    # global survivor cut, then exact f32 rescore
+    # global survivor cut, then exact f32 rescore (chunked over query rows
+    # so the (B, S, D) survivor gather stays bounded for huge batches,
+    # e.g. whole removal waves used as repair queries)
     order = jnp.argsort(bd, axis=1)[:, :S]
     si = jnp.take_along_axis(bi, order, axis=1)           # (B, S)
-    sic = jnp.clip(si, 0, C - 1)
-    sd = dst.gathered(metric, q, qn, vectors[sic], norms[sic])
-    sd = jnp.where(si >= 0, sd, jnp.inf)
+    # survivors whose coarse distance is inf are masked slots (inactive /
+    # excluded rows): approx_min_k still emits real indices for them, and
+    # rescoring those rows against the exact store would resurrect them
+    # with finite distances
+    si = jnp.where(jnp.isfinite(jnp.take_along_axis(bd, order, axis=1)),
+                   si, -1)
+
+    chunk = min(B, 2048)
+    n_chunks = -(-B // chunk)
+    qpad = jnp.pad(q, ((0, n_chunks * chunk - B), (0, 0)))
+    qnp = jnp.pad(qn, (0, n_chunks * chunk - B))
+    sip = jnp.pad(si, ((0, n_chunks * chunk - B), (0, 0)),
+                  constant_values=-1)
+
+    def rescore(args):
+        qc, qnc, sic_ = args
+        g = jnp.clip(sic_, 0, C - 1)
+        d = dst.gathered(metric, qc, qnc, vectors[g], norms[g])
+        return jnp.where(sic_ >= 0, d, jnp.inf)
+
+    sd = lax.map(rescore, (qpad.reshape(n_chunks, chunk, -1),
+                           qnp.reshape(n_chunks, chunk),
+                           sip.reshape(n_chunks, chunk, S)))
+    sd = sd.reshape(n_chunks * chunk, S)[:B]
     order2 = jnp.argsort(sd, axis=1)[:, :k]
     fd = jnp.take_along_axis(sd, order2, axis=1)
     fi = jnp.take_along_axis(si, order2, axis=1)
     fi = jnp.where(jnp.isfinite(fd), fi, -1)
     return fd, fi
+
+
+@partial(jax.jit, static_argnames=("metric", "block"))
+def range_distances(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
+                    active: jnp.ndarray, q1: jnp.ndarray, radius,
+                    block: int = _BLOCK):
+    """(C,) exact distances of one query to every active row within
+    ``radius`` (inf elsewhere) — the giant-radius exact-range path for
+    corpora too large to mirror on the host (the host then takes one
+    bounded (C,) f32 transfer instead of the full vector table)."""
+    if dst.is_custom(metric):
+        raise ValueError("range_distances requires a dot-decomposable "
+                         "metric")
+    C, D = vectors.shape
+    qn = dst.norm_data(metric, q1[None])[0]
+    block = min(block, C)
+    nblocks = -(-C // block)
+    pad = nblocks * block - C
+    if pad:
+        vectors = jnp.pad(vectors, ((0, pad), (0, 0)))
+        norms = jnp.pad(norms, (0, pad))
+        active = jnp.pad(active, (0, pad))
+
+    def body(i, acc):
+        vblk = lax.dynamic_slice_in_dim(vectors, i * block, block)
+        nblk = lax.dynamic_slice_in_dim(norms, i * block, block)
+        ablk = lax.dynamic_slice_in_dim(active, i * block, block)
+        dots = jnp.einsum("d,cd->c", q1, vblk, precision=dst.DOT_PRECISION,
+                          preferred_element_type=jnp.float32)
+        d = dst.from_dot(metric, dots, qn, nblk)
+        d = jnp.where(ablk & (d <= radius), d, jnp.inf)
+        return lax.dynamic_update_slice_in_dim(acc, d, i * block, 0)
+
+    acc = lax.fori_loop(0, nblocks, body,
+                        jnp.full((nblocks * block,), jnp.inf, jnp.float32))
+    return acc[:C]
 
 
 @partial(jax.jit, static_argnames=("metric", "block"))

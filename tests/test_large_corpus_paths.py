@@ -1,0 +1,102 @@
+"""The big-corpus serving paths, forced at small scale.
+
+Corpora whose vector table exceeds ``index.MIRROR_MAX_BYTES`` never mirror
+the vectors to the host: result refinement, callable-filter predicate
+evaluation, result-label fetches, and the exact-range overflow scan all run
+against the device store instead (``utils/refine.refine_on_device``,
+``HNSWIndex._rows``, ``ops/bruteforce.range_distances``).  Those paths must
+return the same answers as the host-mirror float64 paths — these tests pin
+that equivalence by shrinking the mirror budget to zero.
+"""
+
+import numpy as np
+import pytest
+
+import hnswindex_tpu.index as IX
+from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(777)
+    n, dim = 400, 16
+    vecs = rng.random((n, dim), dtype=np.float32)
+    ix = HNSWIndex(dim, parameters=HNSWParameters(collection_size=n))
+    ids = ix.add(vecs)
+    return ix, ids, vecs
+
+
+def _unmirror(monkeypatch, ix):
+    monkeypatch.setattr(IX, "MIRROR_MAX_BYTES", 0)
+    assert not ix._mirrorable()
+
+
+def test_knn_refine_matches_host(corpus, monkeypatch):
+    ix, ids, vecs = corpus
+    q = vecs[:32]
+    base_ids, base_d = ix.knn_query(q, 5)
+    _unmirror(monkeypatch, ix)
+    dev_ids, dev_d = ix.knn_query(q, 5)
+    np.testing.assert_array_equal(dev_ids, base_ids)
+    np.testing.assert_allclose(dev_d, base_d, rtol=1e-4, atol=1e-5)
+
+
+def test_exact_knn_refine_matches_host(corpus, monkeypatch):
+    ix, ids, vecs = corpus
+    q = vecs[:16]
+    base_ids, base_d = ix.knn_query(q, 5, exact=True)
+    _unmirror(monkeypatch, ix)
+    dev_ids, dev_d = ix.knn_query(q, 5, exact=True)
+    np.testing.assert_array_equal(dev_ids, base_ids)
+    np.testing.assert_allclose(dev_d, base_d, rtol=1e-4, atol=1e-5)
+
+
+def test_callable_filter_matches_host(corpus, monkeypatch):
+    ix, ids, vecs = corpus
+
+    def pred(v):
+        return float(v[0]) < 0.5
+
+    q = vecs[:8]
+    base_ids, base_d = ix.knn_query(q, 5, filter_fnc=pred, exact=True)
+    _unmirror(monkeypatch, ix)
+    dev_ids, dev_d = ix.knn_query(q, 5, filter_fnc=pred, exact=True)
+    np.testing.assert_array_equal(dev_ids, base_ids)
+    # every returned id must actually pass the predicate
+    for row in dev_ids:
+        for x in row:
+            if x >= 0:
+                assert pred(vecs[x])
+
+
+def test_range_exact_overflow_matches_host(corpus, monkeypatch):
+    ix, ids, vecs = corpus
+    q1 = vecs[0]
+    radius = 3.0  # wide: covers a large fraction of the 400-row corpus
+    bid, bd = ix._range_exact_host(q1, radius, None)
+    _unmirror(monkeypatch, ix)
+    did, dd = ix._range_exact_host(q1, radius, None)
+    np.testing.assert_array_equal(did, bid)
+    np.testing.assert_allclose(dd, bd, rtol=1e-4, atol=1e-5)
+    assert bid.size > 50  # the radius actually covered a crowd
+    assert (np.diff(dd) >= -1e-6).all()
+
+
+def test_range_query_device_filtered(corpus, monkeypatch):
+    ix, ids, vecs = corpus
+    _unmirror(monkeypatch, ix)
+    rid, rd = ix.range_query(vecs[:4], radius=0.6,
+                             filter_fnc=lambda v: float(v[1]) < 0.7)
+    for r_ids, r_d in zip(rid, rd):
+        assert (np.diff(r_d) >= -1e-6).all()
+        for x, d in zip(r_ids, r_d):
+            assert float(d) <= 0.6 + 1e-6
+            assert float(vecs[x][1]) < 0.7
+
+
+def test_knn_query_results_labels_from_device(corpus, monkeypatch):
+    ix, ids, vecs = corpus
+    _unmirror(monkeypatch, ix)
+    res = ix.knn_query_results(vecs[3], k=3)
+    assert res and res[0].id == ids[3]
+    np.testing.assert_allclose(res[0].label, vecs[3], rtol=1e-6)
