@@ -74,11 +74,11 @@ def main():
     half = n // 2
     t0 = time.perf_counter()
     idx.add(vecs[:half])
-    jax.block_until_ready(idx._state.nbr)
+    jax.block_until_ready(idx._state.nbr0)
     warm_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     idx.add(vecs[half:])
-    jax.block_until_ready(idx._state.nbr)
+    jax.block_until_ready(idx._state.nbr0)
     steady_s = time.perf_counter() - t0
     build_rate = (n - half) / steady_s
     log(f"build: total {warm_s + steady_s:.1f}s; steady-state "

@@ -53,7 +53,9 @@ while done < PN:
         qpool = chunk[:NQ].copy()
     tc = time.perf_counter()
     idx.add(chunk)
-    jax.block_until_ready(idx._state.nbr)
+    # block_until_ready is async-fake through the relay: force a real
+    # sync with a tiny readback that depends on the last wave's writes
+    _ = np.asarray(idx._state.deg0[:1])
     dt = time.perf_counter() - tc
     done += n
     log(f"  {done / 1e6:.0f}M: chunk {n} in {dt:.1f}s ({n / dt:.0f}/s)")
@@ -65,8 +67,7 @@ log(f"build: {PN} in {total:.1f}s (avg {PN / total:.0f}/s, "
 # ground truth on a query subset via the index's own exact mode (recall 1.0
 # by construction of the oracle; verified vs numpy at small scale in tests)
 t0 = time.perf_counter()
-gids, _ = idx.knn_query(qpool, k=10, exact=True)
-jax.block_until_ready(idx._state.nbr)
+gids, _ = idx.knn_query(qpool, k=10, exact=True)  # returns synced np arrays
 t_exact = time.perf_counter() - t0
 log(f"exact query: {NQ / t_exact:.0f} q/s")
 

@@ -42,11 +42,11 @@ params = HNSWParameters(collection_size=PN, max_wave_size=512,
 idx = HNSWIndex(DIM, parameters=params)
 t0 = time.perf_counter()
 idx.add(vecs[: PN // 2])
-jax.block_until_ready(idx._state.nbr)
+jax.block_until_ready(idx._state.nbr0)
 log(f"warm half: {time.perf_counter() - t0:.1f}s")
 t0 = time.perf_counter()
 idx.add(vecs[PN // 2:])
-jax.block_until_ready(idx._state.nbr)
+jax.block_until_ready(idx._state.nbr0)
 dt = time.perf_counter() - t0
 log(f"beam build steady: {(PN - PN // 2) / dt:.0f} inserts/s")
 

@@ -43,7 +43,7 @@ params = HNSWParameters(collection_size=N, max_wave_size=512)
 idx = HNSWIndex(DIM, parameters=params)
 t0 = time.perf_counter()
 idx.add(vecs)
-jax.block_until_ready(idx._state.nbr)
+jax.block_until_ready(idx._state.nbr0)
 log(f"build {time.perf_counter() - t0:.1f}s")
 
 cfg = idx._cfg

@@ -42,7 +42,7 @@ def main():
         elif isinstance(out, tuple):
             sync(out[0])
         else:
-            sync(out.deg)
+            sync(out.deg0)
         dt = time.perf_counter() - t
         print(f"{name}: {dt * 1000:.1f} ms", file=sys.stderr)
         return out
@@ -50,7 +50,7 @@ def main():
     # warm up compiles first: one full removal pass exercises every
     # (bucket, tier, layer-class, chunk) kernel combination
     state1 = R.remove_from_state(cfg, state, drop, 100)
-    sync(state1.deg)
+    sync(state1.deg0)
     print("-- compiled; timing steady-state --", file=sys.stderr)
 
     # fresh removal wave, timed
@@ -93,7 +93,7 @@ def main():
                                       R.REPAIR_SPAN)
         nbr_l, deg_l = R._clear_rows_slice(nbr_l, deg_l, rem_j)
         state = R._writeback_layer(state, nbr_l, deg_l, l)
-        sync(state.deg)
+        sync(state.deg0)
         dt_s = time.perf_counter() - t
         print(f"layer {l}: cands {dt_c * 1000:.0f} ms; "
               f"fast {fast.size} rows {dt_f * 1000:.0f} ms, "

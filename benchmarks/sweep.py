@@ -54,7 +54,7 @@ def main():
     idx = HNSWIndex(args.dim, args.metric, parameters=params)
     t0 = time.perf_counter()
     idx.add(vecs)
-    jax.block_until_ready(idx._state.nbr)
+    jax.block_until_ready(idx._state.nbr0)
     build_s = time.perf_counter() - t0
 
     bix = BlockIndex(args.dim, args.metric, parameters=params)

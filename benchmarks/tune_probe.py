@@ -36,7 +36,7 @@ params = HNSWParameters(collection_size=N, max_wave_size=512)
 idx = HNSWIndex(DIM, parameters=params)
 t0 = time.perf_counter()
 idx.add(vecs)
-jax.block_until_ready(idx._state.nbr)
+jax.block_until_ready(idx._state.nbr0)
 log(f"build {time.perf_counter() - t0:.1f}s")
 
 cfg = idx._cfg
@@ -150,7 +150,7 @@ ids_all = np.arange(N, dtype=np.int32)
 drop = rng.choice(ids_all, size=50_000, replace=False)
 t0 = time.perf_counter()
 idx.remove(drop)
-jax.block_until_ready(idx._state.nbr)
+jax.block_until_ready(idx._state.nbr0)
 dt = time.perf_counter() - t0
 log(f"remove 50k @1M: {dt:.1f}s = {50_000 / dt:.0f} removals/s")
 keep = np.setdiff1d(ids_all[:2000], drop)

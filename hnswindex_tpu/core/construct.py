@@ -85,7 +85,7 @@ def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
     return sel.reshape(-1, max_deg)[:P], cnt.reshape(-1)[:P]
 
 
-def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
+def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
                  mask, max_deg: int):
     """Add back-edges v -> u for every forward edge u -> v in the wave.
 
@@ -95,16 +95,15 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     are re-pruned over (pre-existing edges ∪ new arrivals) exactly like
     PruneOverflow (GraphConnector.cs:209-211,222-262).
 
-    Returns the updated (nbr_layer_row_table, deg_layer) pair scattered back
-    into the full tables."""
-    nbr, deg = state.nbr, state.deg
+    Operates on one layer's (C, K_l) table slice (layer 0 is (C, 2M),
+    upper layers (C, M) — graph.nbr_slice); returns the updated
+    (nbr_l, deg_l)."""
     W, Ms = sel.shape
     P = W * Ms
-    C = state.capacity
-    K = nbr.shape[2]
-    layer = int(layer)   # static: traced layer slices copy the table
+    C = nbr_l.shape[0]
+    K = nbr_l.shape[1]
 
-    nbr_l0 = nbr[layer]                                               # (C,K)
+    nbr_l0 = nbr_l                                                   # (C,K)
 
     u = jnp.repeat(src_ids.astype(jnp.int32), Ms)
     v = sel.reshape(P)
@@ -127,9 +126,6 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     gstart = lax.cummax(jnp.where(isstart, ar, 0))
     rank = ar - gstart
     svc = jnp.clip(sv, 0, C - 1)
-
-    nbr_l = nbr_l0
-    deg_l = deg[layer]                                               # (C,)
 
     olddeg = jnp.where(spv, deg_l[svc], 0)
     counts = jnp.zeros((C + 1,), jnp.int32).at[sv].add(1)
@@ -157,26 +153,26 @@ def _add_reverse(cfg: GraphConfig, state: GraphState, layer, src_ids, sel,
     w_ok = (jnp.arange(A)[None, :] < jnp.minimum(gcnt, A)[:, None]) \
         & over_row[:, None]
     cand = jnp.concatenate([ex, jnp.where(w_ok, wu, -1)], axis=1)  # (P, K+A)
-    sel2, cnt2 = _prune_rows(cfg, state.vlo, state.norms, sv, cand,
-                             over_row, max_deg)
+    sel2, cnt2 = _prune_rows(cfg, vlo, norms, sv, cand, over_row, max_deg)
     sel2pad = jnp.full((P, K), -1, jnp.int32).at[:, :max_deg].set(sel2)
     rowd = jnp.where(over_row, sv, C)
     nbr_l = nbr_l.at[rowd].set(sel2pad, mode="drop")
     deg_l = deg_l.at[rowd].set(cnt2, mode="drop")
-
-    nbr = nbr.at[layer].set(nbr_l)
-    deg = deg.at[layer].set(deg_l)
-    return nbr, deg
+    return nbr_l, deg_l
 
 
 def _apply_connections(cfg: GraphConfig, state: GraphState, layer, ids,
                        cd, ci, conn, max_deg: int):
     """Candidate-agnostic half of ConnectAtLayer: heuristic prune,
     forward-edge row write, back edges + overflow prune
-    (GraphConnector.cs:190-214).  Returns (nbr, deg, sel)."""
+    (GraphConnector.cs:190-214).  Returns the layer's updated
+    (nbr_l, deg_l) slice plus sel."""
+    from .graph import nbr_slice
+
     W = ids.shape[0]
     C = state.capacity
-    K = state.nbr.shape[2]
+    nbr_l, deg_l = nbr_slice(state, int(layer))
+    K = nbr_l.shape[1]
     cic = jnp.clip(ci, 0, C - 1)
     cvecs = state.vlo[cic]
     cnorms = state.norms[cic]
@@ -185,31 +181,32 @@ def _apply_connections(cfg: GraphConfig, state: GraphState, layer, ids,
 
     selpad = jnp.full((W, K), -1, jnp.int32).at[:, :max_deg].set(sel)
     rowsafe = jnp.where(conn, ids, C)
-    nbr = state.nbr.at[int(layer), rowsafe].set(selpad, mode="drop")
-    deg = state.deg.at[int(layer), rowsafe].set(cnt, mode="drop")
-    nbr, deg = _add_reverse(cfg, state._replace(nbr=nbr, deg=deg), layer,
-                            ids, sel, conn, max_deg)
-    return nbr, deg, sel
+    nbr_l = nbr_l.at[rowsafe].set(selpad, mode="drop")
+    deg_l = deg_l.at[rowsafe].set(cnt, mode="drop")
+    nbr_l, deg_l = _add_reverse(cfg, state.vlo, state.norms, nbr_l, deg_l,
+                                ids, sel, conn, max_deg)
+    return nbr_l, deg_l, sel
 
 
 def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
                       qn, entry, conn, max_deg: int):
     """One layer of the insert path (ConnectAtLayer,
     GraphConnector.cs:187-217): beam search + _apply_connections.
-    Returns updated (nbr, deg, entry)."""
+    Returns the layer's updated (nbr_l, deg_l) slice and the chained
+    entry."""
     efc = cfg.ef_construction
     p = cfg.build_expand
     max_iters = (cfg.search_iter_factor * efc) // p + 16
 
     cd, ci = beam_search(cfg, state, vecs, qn, entry, conn, layer, efc,
                          max_iters, expand=p)
-    nbr, deg, sel = _apply_connections(cfg, state, layer, ids, cd, ci, conn,
-                                       max_deg)
+    nbr_l, deg_l, sel = _apply_connections(cfg, state, layer, ids, cd, ci,
+                                           conn, max_deg)
     # Chain the closest accepted neighbor as the next layer's entry point
     # (GraphConnector.cs:216 returns bestNeighborsIds[0]).
     nxt = sel[:, 0]
     entry = jnp.where(conn & (nxt >= 0), nxt, entry)
-    return nbr, deg, entry
+    return nbr_l, deg_l, entry
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -262,17 +259,19 @@ def upper_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid):
                               jnp.broadcast_to(old_top, (Wu,)), conn_top)
 
     # The layer loop is Python-unrolled (L is static): carrying the
-    # (L, C, K) table through a lax.fori_loop makes XLA materialize a
-    # lane-padded copy of it per step (s32[..., K] pads K -> 128, a 4x
-    # blowup that OOMs at 8M rows); with static layer indices every
-    # scatter updates the donated table in place.
-    nbr, deg = state.nbr, state.deg
+    # neighbor tables through a lax.fori_loop makes XLA materialize a
+    # lane-padded copy per step (s32[..., K] pads K -> 128, a 4x blowup
+    # that OOMs at 8M rows); with static layer indices every scatter
+    # updates the donated tables in place.
+    from .graph import with_nbr_slice
+
     for layer in range(L - 1, 0, -1):
         conn = valid & has_graph & (layer <= conn_top) & (lvls >= layer)
-        st = state._replace(nbr=nbr, deg=deg)
-        nbr, deg, entry = _connect_at_layer(cfg, st, layer, ids, vecs, vn,
-                                            entry, conn, cfg.max_edges)
-    return state._replace(nbr=nbr, deg=deg), entry
+        nbr_l, deg_l, entry = _connect_at_layer(cfg, state, layer, ids,
+                                                vecs, vn, entry, conn,
+                                                cfg.max_edges)
+        state = with_nbr_slice(state, layer, nbr_l, deg_l)
+    return state, entry
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -309,20 +308,19 @@ def base_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid,
     # it can land on a *wave member* — which has no layer-0 edges yet and
     # would dead-end the beam.  Any zero-out-degree entry falls back to the
     # pre-wave global entry point.
-    deg0 = state.deg[0]
-    entry_ok = deg0[jnp.clip(entry, 0, C - 1)] > 0
+    entry_ok = state.deg0[jnp.clip(entry, 0, C - 1)] > 0
     entry = jnp.where(entry_ok, entry, ep_b)
 
     conn0 = valid & has_graph
-    nbr, deg, _ = _connect_at_layer(cfg, state, 0, ids, vecs, vn, entry,
-                                    conn0, 2 * cfg.max_edges)
+    nbr0, deg0, _ = _connect_at_layer(cfg, state, 0, ids, vecs, vn, entry,
+                                      conn0, 2 * cfg.max_edges)
 
     lv_eff = jnp.where(valid, lvls, -2)
     best_i = jnp.argmax(lv_eff)
     best_lvl = lv_eff[best_i]
     new_ep = jnp.where(best_lvl > old_top, ids[best_i], ep0).astype(jnp.int32)
     return state._replace(
-        nbr=nbr, deg=deg, ep=new_ep,
+        nbr0=nbr0, deg0=deg0, ep=new_ep,
         count=state.count + jnp.sum(valid, dtype=jnp.int32))
 
 
@@ -362,15 +360,15 @@ def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
         cd, ci = exact_knn(cfg.metric, state.vlo, state.norms, state.active,
                            vecs, cfg.ef_construction, exclude=ids)
     conn0 = valid & has_graph
-    nbr, deg, _ = _apply_connections(cfg, state, 0, ids, cd, ci, conn0,
-                                     2 * cfg.max_edges)
+    nbr0, deg0, _ = _apply_connections(cfg, state, 0, ids, cd, ci, conn0,
+                                       2 * cfg.max_edges)
 
     lv_eff = jnp.where(valid, lvls, -2)
     best_i = jnp.argmax(lv_eff)
     best_lvl = lv_eff[best_i]
     new_ep = jnp.where(best_lvl > old_top, ids[best_i], ep0).astype(jnp.int32)
     return state._replace(
-        nbr=nbr, deg=deg, ep=new_ep,
+        nbr0=nbr0, deg0=deg0, ep=new_ep,
         count=state.count + jnp.sum(valid, dtype=jnp.int32))
 
 
@@ -410,17 +408,18 @@ def insert_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls, valid):
 
     # Upper layers L-1 .. 1 (degree cap M), then layer 0 (cap 2*M) —
     # GraphData.cs:247-250.  Python-unrolled: see upper_connect.
-    nbr, deg = state.nbr, state.deg
+    from .graph import with_nbr_slice
+
     for layer in range(L - 1, 0, -1):
         conn = valid & has_graph & (layer <= conn_top)
-        st = state._replace(nbr=nbr, deg=deg)
-        nbr, deg, entry = _connect_at_layer(cfg, st, layer, ids, vecs, vn,
-                                            entry, conn, cfg.max_edges)
+        nbr_l, deg_l, entry = _connect_at_layer(cfg, state, layer, ids,
+                                                vecs, vn, entry, conn,
+                                                cfg.max_edges)
+        state = with_nbr_slice(state, layer, nbr_l, deg_l)
 
     conn0 = valid & has_graph
-    st = state._replace(nbr=nbr, deg=deg)
-    nbr, deg, _ = _connect_at_layer(cfg, st, 0, ids, vecs, vn, entry, conn0,
-                                    2 * cfg.max_edges)
+    nbr0, deg0, _ = _connect_at_layer(cfg, state, 0, ids, vecs, vn, entry,
+                                      conn0, 2 * cfg.max_edges)
 
     # Entry-point promotion (GraphConnector.cs:36-41): highest-level wave
     # member wins if it exceeds the old top; first such member on ties.
@@ -430,5 +429,5 @@ def insert_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls, valid):
     new_ep = jnp.where(best_lvl > old_top, ids[best_i], ep0).astype(jnp.int32)
 
     return state._replace(
-        nbr=nbr, deg=deg, ep=new_ep,
+        nbr0=nbr0, deg0=deg0, ep=new_ep,
         count=state.count + jnp.sum(valid, dtype=jnp.int32))

@@ -8,19 +8,23 @@ level and updates it with functional array scatters — data races are
 structurally impossible, so the entire lock fabric (GraphLocker.cs,
 Node.cs:12-16, GraphData.cs:16,21,29) has no equivalent here.
 
-Layout (C = capacity, D = dim, L = max levels, K = table width = 2*M):
+Layout (C = capacity, D = dim, L = max levels):
 
 * ``vectors  (C, D) f32`` — the reference's ``Items[]`` (GraphData.cs:18).
 * ``norms    (C,)   f32`` — cached metric norm data (no reference analog;
   enables dot-product distance decomposition on the MXU).
 * ``level    (C,)   i32`` — per-node top layer (``Node.MaxLayer``,
   Node.cs:27); -1 for never-used slots.
-* ``nbr   (L, C, K) i32`` — out-edges, -1 padded; level l row u holds
-  ``deg[l, u]`` valid entries in columns [0, deg).  Replaces
-  ``Node.OutEdges`` (Node.cs:22).  Layer 0 may use all K = 2*M columns;
-  upper layers are capped at M by the mutation kernels
-  (GraphData.cs:247-250).  Slots >= deg are always -1 (enforced invariant).
-* ``deg     (L, C) i32`` — out-degree per level (EdgeList.Count).
+* ``nbr0    (C, 2M) i32`` — layer-0 out-edges, -1 padded; row u holds
+  ``deg0[u]`` valid entries in columns [0, deg).  Replaces
+  ``Node.OutEdges[0]`` (Node.cs:22); layer 0's degree cap is 2*M
+  (GraphData.cs:247-250).  Slots >= deg are always -1 (invariant).
+* ``deg0     (C,) i32`` — layer-0 out-degree (EdgeList.Count).
+* ``nbru (L-1, C, M) i32`` / ``degu (L-1, C) i32`` — layers 1..L-1, whose
+  degree cap is M.  Splitting the hierarchy off the base layer halves the
+  upper tables' width (the former uniform (L, C, 2M) table wasted
+  ~(L-1)*C*M*4 bytes on empty lanes — 3.2 GB at 8M rows), keeping the hot
+  layer-0 rows dense and 128-byte aligned.
 * ``active   (C,) bool`` — live-node set, replacing ``ActiveSet``
   (ActiveSet.cs:72-97).
 * ``ep       ()   i32`` — entry point id (GraphData.cs:22), -1 when empty.
@@ -63,12 +67,6 @@ class GraphConfig:
     #: default).
     rank_dtype: str = "float32"
 
-    @property
-    def table_width(self) -> int:
-        # Layer-0 degree cap is 2*M (GraphData.cs:247-250); the single
-        # uniform table is sized for the widest layer.
-        return 2 * self.max_edges
-
     def max_degree(self, layer_is_base: bool) -> int:
         return 2 * self.max_edges if layer_is_base else self.max_edges
 
@@ -88,8 +86,10 @@ class GraphState(NamedTuple):
     coarse: jnp.ndarray
     norms: jnp.ndarray     # (C,)   f32
     level: jnp.ndarray     # (C,)   i32
-    nbr: jnp.ndarray       # (L, C, K) i32
-    deg: jnp.ndarray       # (L, C) i32
+    nbr0: jnp.ndarray      # (C, 2M)     i32 layer-0 out-edges
+    deg0: jnp.ndarray      # (C,)        i32
+    nbru: jnp.ndarray      # (L-1, C, M) i32 upper-layer out-edges
+    degu: jnp.ndarray      # (L-1, C)    i32
     active: jnp.ndarray    # (C,)   bool
     ep: jnp.ndarray        # ()     i32
     count: jnp.ndarray     # ()     i32
@@ -114,7 +114,55 @@ class GraphState(NamedTuple):
 
     @property
     def num_levels(self) -> int:
-        return self.nbr.shape[0]
+        return self.nbru.shape[0] + 1
+
+
+def nbr_slice(state: GraphState, layer: int):
+    """(nbr_l (C, K_l), deg_l (C,)) for a *static* layer index.
+
+    Layer 0 rows are (C, 2M); upper layers (C, M).  Static indexing makes
+    the slice alias the parameter — a traced index would copy the layer."""
+    if int(layer) == 0:
+        return state.nbr0, state.deg0
+    return state.nbru[int(layer) - 1], state.degu[int(layer) - 1]
+
+
+def with_nbr_slice(state: GraphState, layer: int, nbr_l, deg_l
+                   ) -> GraphState:
+    """State with one layer's (nbr_l, deg_l) slice replaced (static
+    layer)."""
+    if int(layer) == 0:
+        return state._replace(nbr0=nbr_l, deg0=deg_l)
+    return state._replace(
+        nbru=state.nbru.at[int(layer) - 1].set(nbr_l),
+        degu=state.degu.at[int(layer) - 1].set(deg_l))
+
+
+def upper_rows(state: GraphState, lay, ids):
+    """Gather upper-layer ((lay,) >= 1, traced) neighbor rows for ``ids``.
+
+    Used by the greedy descent, which only ever walks layers >= 1
+    (stop_layer >= 0); rows for lanes whose ``lay`` is out of range are
+    garbage and must be masked by the caller."""
+    Lu = state.nbru.shape[0]
+    layu = jnp.clip(lay - 1, 0, Lu - 1)
+    return state.nbru[layu, ids]
+
+
+def dense_tables(state: GraphState):
+    """Host-side dense (L, C, K0) nbr / (L, C) deg view of the split
+    tables (tests / debugging only — this materializes exactly the padded
+    layout the split design keeps off the device)."""
+    nbr0 = np.asarray(state.nbr0)
+    C, K0 = nbr0.shape
+    L = state.num_levels
+    Ku = state.nbru.shape[2]
+    nbr = np.full((L, C, K0), -1, np.int32)
+    nbr[0] = nbr0
+    nbr[1:, :, :Ku] = np.asarray(state.nbru)
+    deg = np.concatenate([np.asarray(state.deg0)[None],
+                          np.asarray(state.degu)], axis=0)
+    return nbr, deg
 
 
 def make_vlo(rank_dtype, vectors: jnp.ndarray) -> jnp.ndarray:
@@ -166,7 +214,7 @@ def default_max_levels(capacity: int, distribution_rate: float) -> int:
 
 
 def empty_state(cfg: GraphConfig, capacity: int) -> GraphState:
-    C, D, L, K = capacity, cfg.dim, cfg.max_levels, cfg.table_width
+    C, D, L = capacity, cfg.dim, cfg.max_levels
     lo = jnp.dtype(cfg.rank_dtype)
     use_coarse = not dst.is_custom(cfg.metric) and lo != jnp.bfloat16
     return GraphState(
@@ -175,8 +223,10 @@ def empty_state(cfg: GraphConfig, capacity: int) -> GraphState:
         coarse=jnp.zeros((C if use_coarse else 0, D), jnp.bfloat16),
         norms=jnp.zeros((C,), jnp.float32),
         level=jnp.full((C,), -1, jnp.int32),
-        nbr=jnp.full((L, C, K), -1, jnp.int32),
-        deg=jnp.zeros((L, C), jnp.int32),
+        nbr0=jnp.full((C, 2 * cfg.max_edges), -1, jnp.int32),
+        deg0=jnp.zeros((C,), jnp.int32),
+        nbru=jnp.full((L - 1, C, cfg.max_edges), -1, jnp.int32),
+        degu=jnp.zeros((L - 1, C), jnp.int32),
         active=jnp.zeros((C,), bool),
         ep=jnp.asarray(-1, jnp.int32),
         count=jnp.asarray(0, jnp.int32),
@@ -199,9 +249,11 @@ def grow_state(state: GraphState, new_capacity: int) -> GraphState:
                 jnp.pad(state.coarse, ((0, pad), (0, 0)))),
         norms=jnp.pad(state.norms, (0, pad)),
         level=jnp.pad(state.level, (0, pad), constant_values=-1),
-        nbr=jnp.pad(state.nbr, ((0, 0), (0, pad), (0, 0)),
-                    constant_values=-1),
-        deg=jnp.pad(state.deg, ((0, 0), (0, pad))),
+        nbr0=jnp.pad(state.nbr0, ((0, pad), (0, 0)), constant_values=-1),
+        deg0=jnp.pad(state.deg0, (0, pad)),
+        nbru=jnp.pad(state.nbru, ((0, 0), (0, pad), (0, 0)),
+                     constant_values=-1),
+        degu=jnp.pad(state.degu, ((0, 0), (0, pad))),
         active=jnp.pad(state.active, (0, pad)),
         ep=state.ep,
         count=state.count,

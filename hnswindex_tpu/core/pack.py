@@ -86,9 +86,9 @@ def make_query_pack(cfg: GraphConfig, state: GraphState,
     padded).  Residuals are computed in f32 then rounded to bf16, chunked
     over rows so no full-width (C, K, D) f32 intermediate exists."""
     C = state.capacity
-    K = state.nbr.shape[2]
+    K = state.nbr0.shape[1]
     D = cfg.dim
-    nbr0 = state.nbr[0]
+    nbr0 = state.nbr0
     safe = jnp.clip(nbr0, 0, C - 1)
 
     base = state.vectors

@@ -92,12 +92,21 @@ def mark_removed(cfg: GraphConfig, state: GraphState, rem_ids):
     ep_removed = (ep >= 0) & rmask[epc]
 
     # TryReplaceEntryPoint: most out-connected surviving neighbor at the
-    # EP's top layer
+    # EP's top layer.  The top layer is traced, so gather from both the
+    # base and upper tables and select (the upper row is padded to the
+    # base width).
     ep_lvl = jnp.clip(state.level[epc], 0, L - 1)
-    row = state.nbr[ep_lvl, epc]                      # (K,)
+    K0 = state.nbr0.shape[1]
+    Ku = state.nbru.shape[2]
+    row_u = state.nbru[jnp.clip(ep_lvl - 1, 0, L - 2), epc]   # (Ku,)
+    row_u = jnp.concatenate(
+        [row_u, jnp.full((K0 - Ku,), -1, jnp.int32)])
+    row = jnp.where(ep_lvl == 0, state.nbr0[epc], row_u)      # (K0,)
     rowc = jnp.clip(row, 0, C - 1)
     surv = (row >= 0) & active[rowc]
-    score = jnp.where(surv, state.deg[ep_lvl, rowc], -1)
+    deg_u = state.degu[jnp.clip(ep_lvl - 1, 0, L - 2), rowc]
+    deg_at = jnp.where(ep_lvl == 0, state.deg0[rowc], deg_u)
+    score = jnp.where(surv, deg_at, -1)
     nb_best = row[jnp.argmax(score)]
     has_nb = jnp.any(surv)
 
@@ -169,20 +178,23 @@ def affected_masks_all(cfg: GraphConfig, state: GraphState, rem_ids):
     ``multi`` marks rows that lost 2+ neighbors and need the wide repair
     union; everyone else takes the fan-in-1 fast tier.
 
-    Scanned in bounded row blocks sliced straight off the 3-D table:
-    using a whole (C, K) slice as one gather-index tensor makes XLA
-    materialize it in a lane-padded layout (4x HBM — OOM at 8M rows);
-    per-block dynamic slices cap the transient at block size."""
+    Scanned in bounded row blocks sliced straight off the tables: using a
+    whole (C, K) slice as one gather-index tensor makes XLA materialize
+    it in a lane-padded layout (4x HBM — OOM at 8M rows); per-block
+    dynamic slices cap the transient at block size."""
+    from .graph import nbr_slice
+
     C = state.capacity
-    K = state.nbr.shape[2]
     rmask = _removed_mask(state, rem_ids)
     blocks = max(1, C >> 19)          # <= 512k rows per step
     rows = C // blocks
     aff, mul = [], []
     for l in range(state.num_levels):
-        def body(i, acc):
-            blk = lax.dynamic_slice(state.nbr, (l, i * rows, 0),
-                                    (1, rows, K))[0]
+        nbr_l, _ = nbr_slice(state, l)
+        K = nbr_l.shape[1]
+
+        def body(i, acc, nbr_l=nbr_l, K=K):
+            blk = lax.dynamic_slice(nbr_l, (i * rows, 0), (rows, K))
             hit = (blk >= 0) & rmask[jnp.clip(blk, 0, C - 1)]
             nh = jnp.sum(hit, axis=1, dtype=jnp.int32)
             return lax.dynamic_update_slice(acc, nh, (i * rows,))
@@ -297,14 +309,15 @@ CHUNK_BUCKETS = (1024, 4096)
 
 @partial(jax.jit, static_argnames=("layer",))
 def _slice_layer(state: GraphState, layer: int):
-    return state.nbr[layer], state.deg[layer]
+    from .graph import nbr_slice
+    return nbr_slice(state, layer)
 
 
 @partial(jax.jit, static_argnames=("layer",),
          donate_argnames=("state", "nbr_l", "deg_l"))
 def _writeback_layer(state: GraphState, nbr_l, deg_l, layer: int):
-    return state._replace(nbr=state.nbr.at[layer].set(nbr_l),
-                          deg=state.deg.at[layer].set(deg_l))
+    from .graph import with_nbr_slice
+    return with_nbr_slice(state, layer, nbr_l, deg_l)
 
 
 def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scan_j,

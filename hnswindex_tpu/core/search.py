@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import distance as dst
-from .graph import GraphConfig, GraphState
+from .graph import GraphConfig, GraphState, nbr_slice, upper_rows
 
 _INF = jnp.inf
 
@@ -110,11 +110,13 @@ def greedy_descent(cfg: GraphConfig, state: GraphState,
     # batch width >= 8; at width 1 XLA materializes a lane-padded copy of
     # the whole table (4x HBM — OOM at 8M rows), which is why every host
     # bucket ladder starts at 8 (index.WAVE_BUCKETS et al.).
+    # The descent only ever walks layers > stop_layer >= 0, so it reads
+    # the upper tables exclusively (inactive lanes gather garbage rows
+    # that the act mask discards).
     def body(c):
         act = active_of(c)
-        layc = jnp.clip(c.lay, 0, L - 1)
         curc = jnp.clip(c.cur, 0, C - 1)
-        nb = state.nbr[layc, curc]                       # (B, K)
+        nb = upper_rows(state, c.lay, curc)              # (B, Ku)
         nbv = (nb >= 0) & act[:, None]
         nd = _dist_to_nodes(cfg.metric, q, qn, state.vlo, state.norms,
                             jnp.where(nbv, nb, 0))
@@ -222,7 +224,7 @@ def beam_search(cfg: GraphConfig, state: GraphState,
     C = state.capacity
     P = min(expand, ef)
     rows = jnp.arange(B)
-    nbr_l = state.nbr[int(layer)]                            # (C, K)
+    nbr_l, _ = nbr_slice(state, layer)                       # (C, K_l)
     K = nbr_l.shape[1]
 
     epc = jnp.clip(ep, 0, C - 1)
@@ -331,7 +333,7 @@ def range_search(cfg: GraphConfig, state: GraphState,
     B = q.shape[0]
     C = state.capacity
     rows = jnp.arange(B)
-    nbr_l = state.nbr[int(layer)]
+    nbr_l, _ = nbr_slice(state, layer)
 
     if ep.ndim == 1:
         ep = ep[:, None]

@@ -30,7 +30,7 @@ import numpy as np
 from ..params import HNSWParameters
 from .graph import GraphConfig, GraphState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2   # v2: layer-0 and upper-layer tables stored split
 
 # magic of the native C++ host engine's snapshot (native/hnsw_host.cpp)
 _HOST_MAGIC = b"HNSWHST1"
@@ -118,8 +118,10 @@ def save(path: str, cfg: GraphConfig, params: HNSWParameters,
         vectors=np.asarray(state.vectors)[:n],
         norms=np.asarray(state.norms)[:n],
         level=np.asarray(state.level)[:n],
-        nbr=np.asarray(state.nbr)[:, :n, :],
-        deg=np.asarray(state.deg)[:, :n],
+        nbr0=np.asarray(state.nbr0)[:n, :],
+        deg0=np.asarray(state.deg0)[:n],
+        nbru=np.asarray(state.nbru)[:, :n, :],
+        degu=np.asarray(state.degu)[:, :n],
         active=np.asarray(state.active)[:n],
         free=np.asarray(free, dtype=np.int32),
     )
@@ -147,15 +149,18 @@ def load(path: str):
             norms=jnp.asarray(np.pad(z["norms"], (0, pad))),
             level=jnp.asarray(np.pad(z["level"], (0, pad),
                                      constant_values=-1)),
-            nbr=jnp.asarray(np.pad(z["nbr"], ((0, 0), (0, pad), (0, 0)),
-                                   constant_values=-1)),
-            deg=jnp.asarray(np.pad(z["deg"], ((0, 0), (0, pad)))),
+            nbr0=jnp.asarray(np.pad(z["nbr0"], ((0, pad), (0, 0)),
+                                    constant_values=-1)),
+            deg0=jnp.asarray(np.pad(z["deg0"], (0, pad))),
+            nbru=jnp.asarray(np.pad(z["nbru"], ((0, 0), (0, pad), (0, 0)),
+                                    constant_values=-1)),
+            degu=jnp.asarray(np.pad(z["degu"], ((0, 0), (0, pad)))),
             active=jnp.asarray(np.pad(z["active"], (0, pad))),
             ep=jnp.asarray(header["ep"], jnp.int32),
             count=jnp.asarray(header["count"], jnp.int32),
         )
         assert state.vectors.shape == (C, D)
-        assert state.nbr.shape[0] == L
+        assert state.num_levels == L
         params = HNSWParameters(**header["parameters"])
         free = [int(x) for x in z["free"]]
     return header, params, state, free

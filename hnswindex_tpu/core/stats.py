@@ -46,13 +46,13 @@ class HNSWInfo:
     layers: List[LayerInfo]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _layer_degrees(cfg: GraphConfig, state: GraphState, layer):
+@partial(jax.jit, static_argnames=("cfg", "layer"))
+def _layer_degrees(cfg: GraphConfig, state: GraphState, layer: int):
     """(out_degree, in_degree, on_layer) for one layer over active nodes."""
+    from .graph import nbr_slice
+
     C = state.capacity
-    layer = jnp.asarray(layer, jnp.int32)
-    nbr_l = lax.dynamic_index_in_dim(state.nbr, layer, 0, keepdims=False)
-    deg_l = lax.dynamic_index_in_dim(state.deg, layer, 0, keepdims=False)
+    nbr_l, deg_l = nbr_slice(state, layer)
     on_layer = state.active & (state.level >= layer)
     valid_edge = (nbr_l >= 0) & on_layer[:, None]
     indeg = jnp.zeros((C + 1,), jnp.int32).at[
@@ -97,14 +97,15 @@ def graph_info(cfg: GraphConfig, state: GraphState,
     return HNSWInfo(layers=layers)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_iters"))
-def _components_at_layer(cfg: GraphConfig, state: GraphState, layer,
+@partial(jax.jit, static_argnames=("cfg", "layer", "max_iters"))
+def _components_at_layer(cfg: GraphConfig, state: GraphState, layer: int,
                          max_iters: int):
     """Count weakly connected components at one layer via min-label
     propagation along out-edges (gather) and in-edges (scatter-min)."""
+    from .graph import nbr_slice
+
     C = state.capacity
-    layer = jnp.asarray(layer, jnp.int32)
-    nbr_l = lax.dynamic_index_in_dim(state.nbr, layer, 0, keepdims=False)
+    nbr_l, _ = nbr_slice(state, layer)
     on_layer = state.active & (state.level >= layer)
     ids = jnp.arange(C, dtype=jnp.int32)
     labels0 = jnp.where(on_layer, ids, C)

@@ -70,6 +70,39 @@ RANGE_POOLS = (64, 512, 4096)
 MIRROR_MAX_BYTES = 1 << 31
 
 
+def _host_split_tables(st):
+    """Fresh host-side (nbr0, deg0, nbru, degu) arrays shaped like ``st``'s
+    split neighbor tables (snapshot-import scaffolding)."""
+    C = st.capacity
+    return (np.full((C, st.nbr0.shape[1]), -1, np.int32),
+            np.zeros(C, np.int32),
+            np.full(st.nbru.shape, -1, np.int32),
+            np.zeros((st.nbru.shape[0], C), np.int32))
+
+
+def _write_node_edges(nbr0, deg0, nbru, degu, node: int, per_layer):
+    """Write one node's per-layer edge lists into the split host tables,
+    truncating each list at its layer's table width."""
+    for l, e in enumerate(per_layer):
+        if l == 0:
+            e = np.asarray(e, np.int32)[: nbr0.shape[1]]
+            nbr0[node, : e.size] = e
+            deg0[node] = e.size
+        elif l - 1 < nbru.shape[0]:
+            e = np.asarray(e, np.int32)[: nbru.shape[2]]
+            nbru[l - 1, node, : e.size] = e
+            degu[l - 1, node] = e.size
+
+
+def _read_node_edges(nbr0, deg0, nbru, degu, node: int, top: int):
+    """One node's per-layer out-edge lists (layers 0..top) from host
+    mirrors of the split tables."""
+    outs = [nbr0[node, : deg0[node]].astype(np.int32)]
+    for l in range(1, top + 1):
+        outs.append(nbru[l - 1, node, : degu[l - 1, node]].astype(np.int32))
+    return outs
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -356,7 +389,7 @@ class HNSWIndex:
             return self._pack
         from .core import pack as PK
         C = self._state.capacity
-        K = self._state.nbr.shape[2]
+        K = self._state.nbr0.shape[1]
         if PK.pack_bytes(C, K, self.dim) > self.params.pack_max_bytes:
             return None
         # entry set = the smallest upper level whose population fits the
@@ -860,9 +893,7 @@ class HNSWIndex:
         st = idx._state
         C = st.capacity
         L = st.num_levels
-        K = st.nbr.shape[2]
-        nbr = np.full((L, C, K), -1, np.int32)
-        deg = np.zeros((L, C), np.int32)
+        nbr0, deg0, nbru, degu = _host_split_tables(st)
         lvl = np.full(C, -1, np.int32)
         act = np.zeros(C, bool)
         vec = np.zeros((C, dim), np.float32)
@@ -872,10 +903,7 @@ class HNSWIndex:
             vec[i] = vectors[i]
             lvl[i] = min(int(levels[i]), L - 1)
             act[i] = not removed[i]
-            for l, e in enumerate(edges[i][:L]):
-                e = e[:K]
-                nbr[l, i, :e.size] = e
-                deg[l, i] = e.size
+            _write_node_edges(nbr0, deg0, nbru, degu, i, edges[i][:L])
         vj = jnp.asarray(vec)
         idx._state = st._replace(
             vectors=vj,
@@ -883,8 +911,10 @@ class HNSWIndex:
             coarse=G.make_coarse(idx._cfg, vj),
             norms=dst.norm_data(metric, vj),
             level=jnp.asarray(lvl),
-            nbr=jnp.asarray(nbr),
-            deg=jnp.asarray(deg),
+            nbr0=jnp.asarray(nbr0),
+            deg0=jnp.asarray(deg0),
+            nbru=jnp.asarray(nbru),
+            degu=jnp.asarray(degu),
             active=jnp.asarray(act),
             ep=jnp.asarray(entry, jnp.int32),
             count=jnp.asarray(count, jnp.int32))
@@ -905,26 +935,32 @@ class HNSWIndex:
         from .core import refsnap
 
         st = self._state
-        nbr = np.asarray(st.nbr)
-        deg = np.asarray(st.deg)
+        nbr0 = np.asarray(st.nbr0)
+        deg0 = np.asarray(st.deg0)
+        nbru = np.asarray(st.nbru)
+        degu = np.asarray(st.degu)
         lvl = np.asarray(st.level)
         act = np.asarray(st.active)
         vec = self._host_vecs()
         length = self._length
         freed = set(self._free)
 
+        def layer_tables(l):
+            return (nbr0, deg0) if l == 0 else (nbru[l - 1], degu[l - 1])
+
         # per-layer in-edge transposition (only when removals are enabled)
         in_lists: List[dict] = []
         if self.params.allow_removals:
             for l in range(st.num_levels):
+                nbr_l, deg_l = layer_tables(l)
                 on = np.flatnonzero(act & (lvl >= l))
                 if on.size == 0:
                     in_lists.append({})
                     continue
-                d = deg[l, on]
+                d = deg_l[on]
                 srcs = np.repeat(on, d).astype(np.int32)
                 cols = np.concatenate(
-                    [nbr[l, u, :deg[l, u]] for u in on]) if d.sum() else \
+                    [nbr_l[u, :deg_l[u]] for u in on]) if d.sum() else \
                     np.empty(0, np.int32)
                 order = np.argsort(cols, kind="stable")
                 cols_s, srcs_s = cols[order], srcs[order]
@@ -949,8 +985,7 @@ class HNSWIndex:
                     if self.params.allow_removals else []))
                 continue
             top = int(lvl[s])
-            outs = [nbr[l, s, :deg[l, s]].astype(np.int32)
-                    for l in range(top + 1)]
+            outs = _read_node_edges(nbr0, deg0, nbru, degu, s, top)
             ins = [np.asarray(in_lists[l].get(s, np.empty(0, np.int32)),
                               np.int32) for l in range(top + 1)] \
                 if self.params.allow_removals else []
@@ -990,9 +1025,7 @@ class HNSWIndex:
         st = idx._state
         C = st.capacity
         L = st.num_levels
-        K = st.nbr.shape[2]
-        nbr = np.full((L, C, K), -1, np.int32)
-        deg = np.zeros((L, C), np.int32)
+        nbr0, deg0, nbru, degu = _host_split_tables(st)
         lvl = np.full(C, -1, np.int32)
         act = np.zeros(C, bool)
         vec = np.zeros((C, dim), np.float32)
@@ -1005,10 +1038,8 @@ class HNSWIndex:
                 vec[s] = snap.items[i]
             lvl[s] = min(node.max_layer, L - 1)
             act[s] = (not node.is_removed) and (s in active_set)
-            for l, e in enumerate(node.out_edges[:L]):
-                e = e[:K]
-                nbr[l, s, :e.size] = e
-                deg[l, s] = e.size
+            _write_node_edges(nbr0, deg0, nbru, degu, s,
+                              node.out_edges[:L])
         vj = jnp.asarray(vec)
         idx._state = st._replace(
             vectors=vj,
@@ -1016,8 +1047,10 @@ class HNSWIndex:
             coarse=G.make_coarse(idx._cfg, vj),
             norms=dstm.norm_data(metric, vj),
             level=jnp.asarray(lvl),
-            nbr=jnp.asarray(nbr),
-            deg=jnp.asarray(deg),
+            nbr0=jnp.asarray(nbr0),
+            deg0=jnp.asarray(deg0),
+            nbru=jnp.asarray(nbru),
+            degu=jnp.asarray(degu),
             active=jnp.asarray(act),
             ep=jnp.asarray(snap.entry_point, jnp.int32),
             count=jnp.asarray(snap.count, jnp.int32))

@@ -750,8 +750,10 @@ class ShardedIndex:
                     else vecs[:, :0].astype(jnp.bfloat16)),
             norms=jnp.asarray(arrays["norms"]),
             level=jnp.asarray(arrays["level"]),
-            nbr=jnp.asarray(arrays["nbr"]),
-            deg=jnp.asarray(arrays["deg"]),
+            nbr0=jnp.asarray(arrays["nbr0"]),
+            deg0=jnp.asarray(arrays["deg0"]),
+            nbru=jnp.asarray(arrays["nbru"]),
+            degu=jnp.asarray(arrays["degu"]),
             active=jnp.asarray(arrays["active"]),
             ep=jnp.asarray(arrays["ep"]),
             count=jnp.asarray(arrays["count"]),

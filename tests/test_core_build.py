@@ -59,8 +59,7 @@ def test_degree_caps_and_padding_invariant():
                         max_levels=5, ef_construction=50)
     state = build(cfg, vecs, params_rate=1 / np.log(M))
 
-    nbr = np.asarray(state.nbr)
-    deg = np.asarray(state.deg)
+    nbr, deg = G.dense_tables(state)
     lvl = np.asarray(state.level)
     L = nbr.shape[0]
     for l in range(L):
@@ -97,8 +96,8 @@ def test_facade_build_row_invariants(path):
     idx = HNSWIndex(dim, parameters=p)
     idx.add(vecs)
 
-    nbr = np.asarray(idx._state.nbr)
-    deg = np.asarray(idx._state.deg)
+    from hnswindex_tpu.core import graph as G2
+    nbr, deg = G2.dense_tables(idx._state)
     lvl = np.asarray(idx._state.level)
     for l in range(nbr.shape[0]):
         cap = 2 * 8 if l == 0 else 8

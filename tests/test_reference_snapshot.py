@@ -123,8 +123,8 @@ def test_independent_codec_reads_our_bytes(built):
     assert len(snap.data.items) == idx._length
 
     # spot-check graph rows + the in/out mirror invariant
-    nbr = np.asarray(idx._state.nbr)
-    deg = np.asarray(idx._state.deg)
+    from hnswindex_tpu.core.graph import dense_tables
+    nbr, deg = dense_tables(idx._state)
     for node in list(snap.data.nodes)[:50]:
         s = node.id
         for l, e in enumerate(node.out_edges):
