@@ -40,6 +40,8 @@ def make(n):
 
 params = HNSWParameters(collection_size=PN, max_wave_size=512,
                         allow_removals=True)
+if "PTHRESH" in os.environ:   # 0 -> beam-path build throughout
+    params.exact_build_threshold = int(os.environ["PTHRESH"])
 idx = HNSWIndex(DIM, parameters=params)
 
 t0 = time.perf_counter()

@@ -41,8 +41,10 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -273,18 +275,29 @@ def sample_levels(rng: np.random.Generator, n: int,
     return np.clip(lv, 0, max_levels - 1)
 
 
-def seed_first_node(cfg: GraphConfig, state: GraphState, slot: int,
-                    vec: np.ndarray, lvl: int) -> GraphState:
-    """Insert the very first node: it becomes the entry point with no edges
-    (GraphConnector.cs:27-33)."""
-    v = jnp.asarray(vec, jnp.float32)
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def _seed_first_node(cfg: GraphConfig, state: GraphState, slot, v, lvl
+                     ) -> GraphState:
     return state._replace(
         vectors=state.vectors.at[slot].set(v),
         vlo_store=update_vlo(state, slot, v),
         coarse=update_coarse(state, slot, v),
         norms=state.norms.at[slot].set(dst.norm_data(cfg.metric, v)),
-        level=state.level.at[slot].set(jnp.int32(lvl)),
+        level=state.level.at[slot].set(lvl.astype(jnp.int32)),
         active=state.active.at[slot].set(True),
-        ep=jnp.asarray(slot, jnp.int32),
+        ep=slot.astype(jnp.int32),
         count=state.count + 1,
     )
+
+
+def seed_first_node(cfg: GraphConfig, state: GraphState, slot: int,
+                    vec: np.ndarray, lvl: int) -> GraphState:
+    """Insert the very first node: it becomes the entry point with no edges
+    (GraphConnector.cs:27-33).
+
+    One donated jit program: op-by-op ``.at[].set`` outside jit copies
+    every multi-GB state leaf it touches (17+ GB transient at 8M rows —
+    an instant OOM on the very first insert)."""
+    return _seed_first_node(cfg, state, jnp.asarray(slot, jnp.int32),
+                            jnp.asarray(vec, jnp.float32),
+                            jnp.asarray(lvl, jnp.int32))

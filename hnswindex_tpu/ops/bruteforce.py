@@ -122,50 +122,44 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
     S = min(C, max(oversample * k, k + 16))
     qn = dst.norm_data(metric, q)
     qlo = q.astype(jnp.bfloat16)
-    block = min(block, C)
-    nblocks = -(-C // block)
-    Cp = nblocks * block
-    pad = Cp - C
-    if pad:
-        coarse = jnp.pad(coarse, ((0, pad), (0, 0)))
-        norms = jnp.pad(norms, (0, pad))
-        active = jnp.pad(active, (0, pad))
 
-    def body(i, carry):
-        bd, bi = carry
-        vblk = lax.dynamic_slice_in_dim(coarse, i * block, block)
-        nblk = lax.dynamic_slice_in_dim(norms, i * block, block)
-        ablk = lax.dynamic_slice_in_dim(active, i * block, block)
-        dots = jnp.einsum("bd,cd->bc", qlo, vblk,
+    # Stage 1: full-width coarse scan, chunked over QUERY rows so the
+    # (QC, C) distance panel stays ~1 GB in bf16.  One einsum + ONE
+    # hardware PartialReduce per chunk: a corpus-block fori_loop issuing a
+    # separate approx_min_k per block costs hundreds of narrow reductions
+    # at 8M rows and dominated the whole scan (~8x the fused form).  The
+    # elementwise chain (from_dot -> masks -> bf16 cast) fuses into the
+    # einsum's consumer, so the panel is written once at 2 bytes/row.
+    QC = min(B, max(16, (1 << 31) // (4 * C)))
+    n_chunks = -(-B // QC)
+    Bp = n_chunks * QC
+    qpad0 = jnp.pad(qlo, ((0, Bp - B), (0, 0)))
+    qnp0 = jnp.pad(qn, (0, Bp - B))
+    exc = (jnp.pad(exclude, (0, Bp - B), constant_values=-1)
+           if exclude is not None else jnp.full((Bp,), -1, jnp.int32))
+
+    def scan_chunk(args):
+        qc, qnc, exc_c = args
+        dots = jnp.einsum("bd,cd->bc", qc, coarse,
                           preferred_element_type=jnp.float32)
-        d = dst.from_dot(metric, dots, qn[:, None], nblk[None, :])
-        d = jnp.where(ablk[None, :], d, jnp.inf)
-        if exclude is not None:
-            ids_blk = i * block + jax.lax.broadcasted_iota(
-                jnp.int32, (B, block), 1)
-            d = jnp.where(ids_blk == exclude[:, None], jnp.inf, d)
-        vals, idx = lax.approx_min_k(d, Sb, recall_target=0.95)
-        ids = i * block + idx.astype(jnp.int32)
-        bd = lax.dynamic_update_slice_in_dim(bd, vals, i * Sb, axis=1)
-        bi = lax.dynamic_update_slice_in_dim(bi, ids, i * Sb, axis=1)
-        return bd, bi
+        d = dst.from_dot(metric, dots, qnc[:, None], norms[None, :])
+        d = jnp.where(active[None, :], d, jnp.inf)
+        ids_row = jax.lax.broadcasted_iota(jnp.int32, (QC, C), 1)
+        d = jnp.where(ids_row == exc_c[:, None], jnp.inf, d)
+        d16 = d.astype(jnp.bfloat16)
+        vals, idx = lax.approx_min_k(d16, min(S, C), recall_target=0.95)
+        return vals.astype(jnp.float32), idx.astype(jnp.int32)
 
-    Sb = min(S, block)
-    bd0 = jnp.full((B, nblocks * Sb), jnp.inf, jnp.float32)
-    bi0 = jnp.full((B, nblocks * Sb), -1, jnp.int32)
-    bd, bi = lax.fori_loop(0, nblocks, body, (bd0, bi0))
-
-    # global survivor cut, then exact f32 rescore (chunked over query rows
-    # so the (B, S, D) survivor gather stays bounded for huge batches,
-    # e.g. whole removal waves used as repair queries)
-    order = jnp.argsort(bd, axis=1)[:, :S]
-    si = jnp.take_along_axis(bi, order, axis=1)           # (B, S)
+    bd, bi = lax.map(scan_chunk, (qpad0.reshape(n_chunks, QC, D),
+                                  qnp0.reshape(n_chunks, QC),
+                                  exc.reshape(n_chunks, QC)))
+    sbd = bd.reshape(Bp, -1)[:B]
+    si = bi.reshape(Bp, -1)[:B]
     # survivors whose coarse distance is inf are masked slots (inactive /
     # excluded rows): approx_min_k still emits real indices for them, and
     # rescoring those rows against the exact store would resurrect them
     # with finite distances
-    si = jnp.where(jnp.isfinite(jnp.take_along_axis(bd, order, axis=1)),
-                   si, -1)
+    si = jnp.where(jnp.isfinite(sbd), si, -1)
 
     chunk = min(B, 2048)
     n_chunks = -(-B // chunk)
