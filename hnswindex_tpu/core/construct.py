@@ -90,10 +90,17 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     """Add back-edges v -> u for every forward edge u -> v in the wave.
 
     Conflict-free parallel append: the (u, v) pair list is sorted by target
-    v, ranked within each group, and scattered into each target row at
-    columns [deg, deg+rank).  Targets whose degree would exceed ``max_deg``
-    are re-pruned over (pre-existing edges ∪ new arrivals) exactly like
-    PruneOverflow (GraphConnector.cs:209-211,222-262).
+    v and ranked within each group; each target's whole new row (existing
+    edges followed by its arrivals) is assembled vectorially and written
+    with ONE row-granular scatter.  Targets whose degree would exceed
+    ``max_deg`` are re-pruned over (pre-existing edges ∪ new arrivals)
+    exactly like PruneOverflow (GraphConnector.cs:209-211,222-262) before
+    the write.
+
+    Row granularity is a hard requirement, not a style choice: XLA-TPU
+    lowers *element* scatters into an O(C) full-table pass (measured 44 ms
+    per 16k updates on an 8.4M x 32 table — the round-1 build collapsed to
+    1.4k inserts/s at that scale), while row scatters stay ~6 ms flat in C.
 
     Operates on one layer's (C, K_l) table slice (layer 0 is (C, 2M),
     upper layers (C, M) — graph.nbr_slice); returns the updated
@@ -103,8 +110,6 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     C = nbr_l.shape[0]
     K = nbr_l.shape[1]
 
-    nbr_l0 = nbr_l                                                   # (C,K)
-
     u = jnp.repeat(src_ids.astype(jnp.int32), Ms)
     v = sel.reshape(P)
     pv = (v >= 0) & jnp.repeat(mask, Ms)
@@ -113,7 +118,7 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     # before this scatter) already stored both directions, and appending
     # the back-edge again would duplicate it (reference rows are sets —
     # EdgeList.Add is guarded by the selection logic, Node.cs:66-76).
-    already = jnp.any(nbr_l0[jnp.clip(v, 0, C - 1)] == u[:, None], axis=1)
+    already = jnp.any(nbr_l[jnp.clip(v, 0, C - 1)] == u[:, None], axis=1)
     pv = pv & ~already
     key = jnp.where(pv, v, C)                     # invalid -> sort to tail
     order = jnp.argsort(key, stable=True)
@@ -123,41 +128,53 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     ar = jnp.arange(P)
     isstart = jnp.concatenate(
         [jnp.ones((1,), bool), sv[1:] != sv[:-1]])
-    gstart = lax.cummax(jnp.where(isstart, ar, 0))
-    rank = ar - gstart
     svc = jnp.clip(sv, 0, C - 1)
 
-    olddeg = jnp.where(spv, deg_l[svc], 0)
-    counts = jnp.zeros((C + 1,), jnp.int32).at[sv].add(1)
-    gcnt = jnp.where(spv, counts[svc], 0)
-    total = olddeg + gcnt
-    over_row = spv & isstart & (total > max_deg)
+    # Group sizes without any C-sized counter array: the next start's
+    # position bounds each group (arrivals of one target are contiguous
+    # after the sort).
+    sp = jnp.where(isstart, ar, P)
+    nxt = jnp.concatenate(
+        [lax.cummin(sp[::-1])[::-1][1:], jnp.full((1,), P, sp.dtype)])
+    gcnt = jnp.where(isstart, nxt - ar, 0)         # valid at starts only
 
-    # Snapshot existing edges of (potential) overflow targets BEFORE the
-    # scatter, so the re-prune sees pre-wave edges + new arrivals exactly
-    # once each.
+    olddeg = jnp.where(spv, deg_l[svc], 0)
+    total = olddeg + gcnt
+    start_ok = spv & isstart
+    over_row = start_ok & (total > max_deg)
+
+    # Existing edges of each target (slots >= deg are -1 by invariant; the
+    # explicit mask keeps that true even for rows mid-repair).
     ex = nbr_l[svc]                                # (P, K)
     ex = jnp.where(jnp.arange(K)[None, :] < olddeg[:, None], ex, -1)
 
-    # Conflict-free scatter of the new back-edges.
-    pos = olddeg + rank
-    can = spv & (pos < K)
-    nbr_l = nbr_l.at[jnp.where(can, sv, C),
-                     jnp.where(can, pos, 0)].set(su, mode="drop")
-    deg_l = jnp.minimum(deg_l + counts[:C], K)
+    # Assemble each start's appended row: columns [0, olddeg) keep the
+    # existing edges, [olddeg, olddeg+gcnt) take the group's arrivals
+    # (su[p], su[p+1], ...), the rest stay -1.  Arrivals past column K
+    # drop here and the overflow re-prune below reconsiders them.
+    colk = jnp.arange(K)[None, :]
+    src = ar[:, None] + (colk - olddeg[:, None])   # arrival index per col
+    arrv = su[jnp.clip(src, 0, P - 1)]
+    is_arr = (colk >= olddeg[:, None]) & \
+        (colk < jnp.minimum(total, K)[:, None])
+    newrow = jnp.where(colk < olddeg[:, None], ex,
+                       jnp.where(is_arr, arrv, -1))
 
     # Batched overflow re-prune: candidates = existing ∪ first A arrivals.
     A = Ms
-    win = jnp.minimum(gstart[:, None] + jnp.arange(A)[None, :], P - 1)
+    win = jnp.minimum(ar[:, None] + jnp.arange(A)[None, :], P - 1)
     wu = su[win]                                   # (P, A)
     w_ok = (jnp.arange(A)[None, :] < jnp.minimum(gcnt, A)[:, None]) \
         & over_row[:, None]
     cand = jnp.concatenate([ex, jnp.where(w_ok, wu, -1)], axis=1)  # (P, K+A)
     sel2, cnt2 = _prune_rows(cfg, vlo, norms, sv, cand, over_row, max_deg)
     sel2pad = jnp.full((P, K), -1, jnp.int32).at[:, :max_deg].set(sel2)
-    rowd = jnp.where(over_row, sv, C)
-    nbr_l = nbr_l.at[rowd].set(sel2pad, mode="drop")
-    deg_l = deg_l.at[rowd].set(cnt2, mode="drop")
+
+    final_row = jnp.where(over_row[:, None], sel2pad, newrow)
+    final_cnt = jnp.where(over_row, cnt2, jnp.minimum(total, K))
+    rowd = jnp.where(start_ok, sv, C)
+    nbr_l = nbr_l.at[rowd].set(final_row, mode="drop")
+    deg_l = deg_l.at[rowd].set(final_cnt, mode="drop")
     return nbr_l, deg_l
 
 
