@@ -74,11 +74,14 @@ def main():
     half = n // 2
     t0 = time.perf_counter()
     idx.add(vecs[:half])
-    jax.block_until_ready(idx._state.nbr0)
+    # block_until_ready is async-fake through the remote relay — a real
+    # readback that depends on the last wave's writes is the only honest
+    # build-time fence
+    np.asarray(jnp.sum(idx._state.deg0))
     warm_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     idx.add(vecs[half:])
-    jax.block_until_ready(idx._state.nbr0)
+    np.asarray(jnp.sum(idx._state.deg0))
     steady_s = time.perf_counter() - t0
     build_rate = (n - half) / steady_s
     log(f"build: total {warm_s + steady_s:.1f}s; steady-state "

@@ -68,20 +68,31 @@ log(f"build: {PN} in {total:.1f}s (avg {PN / total:.0f}/s, "
 
 # ground truth on a query subset via the index's own exact mode (recall 1.0
 # by construction of the oracle; verified vs numpy at small scale in tests)
-t0 = time.perf_counter()
-gids, _ = idx.knn_query(qpool, k=10, exact=True)  # returns synced np arrays
-t_exact = time.perf_counter() - t0
-log(f"exact query: {NQ / t_exact:.0f} q/s")
+gids, t_exact = None, float("nan")
+try:
+    t0 = time.perf_counter()
+    gids, _ = idx.knn_query(qpool, k=10, exact=True)  # synced np arrays
+    t_exact = time.perf_counter() - t0
+    log(f"exact query: {NQ / t_exact:.0f} q/s")
+except Exception as e:   # HBM exhaustion at the top of the scale ladder
+    log(f"exact oracle unavailable ({type(e).__name__}: {e}); "
+        "falling back to self-recall@1")
 
-for ef in (16, 32):
+for ef in (16, 32, 64, 128):
     idx.params.min_nn = ef
     t0 = time.perf_counter()
     ids, _ = idx.knn_query(qpool, k=10)
     t_g = time.perf_counter() - t0
-    rec = float(np.mean([len(set(a) & set(b)) / 10.0
-                         for a, b in zip(ids, gids)]))
-    log(f"graph ef={ef}: {NQ / t_g:.0f} q/s, recall@10 {rec:.3f}")
+    if gids is not None:
+        rec = float(np.mean([len(set(a) & set(b)) / 10.0
+                             for a, b in zip(ids, gids)]))
+        log(f"graph ef={ef}: {NQ / t_g:.0f} q/s, recall@10 {rec:.3f}")
+    else:
+        # qpool is the first NQ indexed vectors: slots 0..NQ-1 in insert
+        # order (fresh index, no frees)
+        rec = float(np.mean(ids[:, 0] == np.arange(NQ)))
+        log(f"graph ef={ef}: {NQ / t_g:.0f} q/s, self-recall@1 {rec:.3f}")
 
 print(f'{{"build_rate_last1m": {last_rate:.0f}, '
       f'"build_total_s": {total:.1f}, '
-      f'"exact_qps": {NQ / t_exact:.0f}}}')
+      f'"build_avg": {PN / total:.0f}}}')

@@ -64,8 +64,10 @@ def main():
 
     t = time.perf_counter()
     aff_j, multi_j = R.affected_masks_all(cfg, state, rem_j)
-    aff_all = np.asarray(aff_j)
-    multi_all = np.asarray(multi_j)
+    Cap = state.capacity
+    aff_all = np.unpackbits(np.asarray(aff_j), axis=-1)[:, :Cap].astype(bool)
+    multi_all = np.unpackbits(np.asarray(multi_j), axis=-1)[:, :Cap] \
+        .astype(bool)
     print(f"affected_masks_all+readback: "
           f"{(time.perf_counter() - t) * 1000:.1f} ms", file=sys.stderr)
 

@@ -58,7 +58,10 @@ def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
     footprint.  Returns (sel (P, max_deg) i32, count (P,) i32)."""
     P, NC = cand_ids.shape
     C = vectors.shape[0]
-    chunk = min(_PRUNE_CHUNK, P)
+    # each lax.map chunk carries ~2-3 ms of fixed small-op latency
+    # (argsort, accept scan, compaction), so big batches take wider chunks
+    # — bounded so the (chunk, NC, D) gather stays ~128 MB
+    chunk = min(max(_PRUNE_CHUNK, P // 8), 8192, P)
     n_chunks = -(-P // chunk)
     pad = n_chunks * chunk - P
 
@@ -120,8 +123,19 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     # EdgeList.Add is guarded by the selection logic, Node.cs:66-76).
     already = jnp.any(nbr_l[jnp.clip(v, 0, C - 1)] == u[:, None], axis=1)
     pv = pv & ~already
+    # Sort pairs by (target, distance): a distance-ascending pre-sort
+    # followed by a stable group-by-target argsort leaves each target's
+    # arrivals nearest-first, so the bounded overflow window below keeps
+    # the *best* A arrivals (and column-K truncation drops the farthest)
+    # instead of arbitrary lane order — at small corpora a hub can receive
+    # tens of same-wave arrivals and lane order loses good edges.
+    ucl = jnp.clip(u, 0, C - 1)
+    vcl = jnp.clip(v, 0, C - 1)
+    du = dst.gathered(cfg.metric, vlo[ucl], norms[ucl],
+                      vlo[vcl][:, None, :], norms[vcl][:, None])[:, 0]
     key = jnp.where(pv, v, C)                     # invalid -> sort to tail
-    order = jnp.argsort(key, stable=True)
+    o1 = jnp.argsort(jnp.where(pv, du, _INF))
+    order = o1[jnp.argsort(key[o1], stable=True)]
     sv = key[order]
     su = u[order]
     spv = pv[order]
@@ -161,7 +175,11 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
                        jnp.where(is_arr, arrv, -1))
 
     # Batched overflow re-prune: candidates = existing ∪ first A arrivals.
-    A = Ms
+    # Arrivals per target are ~1-2 in practice (the pair list spreads over
+    # ~P distinct targets); the window is capped so the prune width — and
+    # with it the row-count-bound candidate-vector gather — stays small.
+    # Arrivals beyond the window drop exactly like arrivals beyond K.
+    A = min(8, Ms)
     win = jnp.minimum(ar[:, None] + jnp.arange(A)[None, :], P - 1)
     wu = su[win]                                   # (P, A)
     w_ok = (jnp.arange(A)[None, :] < jnp.minimum(gcnt, A)[:, None]) \
@@ -292,6 +310,80 @@ def upper_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid):
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def upper_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
+                        valid, panel_ids):
+    """Phase 2 (exact variant): connect upper-level wave members from exact
+    MXU candidates over the compacted upper-node panel.
+
+    Upper layers hold only ~M^-l of the corpus (exponential level law,
+    GraphData.cs:211-219), so the host maintains ``panel_ids (Cu,) i32`` —
+    the ids of every live node with level >= 1, -1 in unused slots.  One
+    (Wu, Cu) distance panel against those rows replaces the per-layer
+    greedy-descent + beam machinery entirely: the beams' row gathers
+    against the full-capacity neighbor tables were the dominant wave cost
+    at 8M rows (~150 ms vs ~5 ms for this scan), and exact candidates
+    strictly dominate beam candidates in quality.
+
+    Per layer l the candidate set is masked to panel rows with
+    level >= l (preserving the invariant that layer-l edges point to
+    layer-l nodes) and pruned/written exactly like the beam variant
+    (ConnectAtLayer, GraphConnector.cs:187-217).  Distances rank on the
+    bf16 coarse mirror when present, then the surviving ef_construction
+    candidates are rescored in f32 before the heuristic (same two-stage
+    scheme as ops/bruteforce.exact_knn2)."""
+    from .graph import with_nbr_slice
+
+    Wu = ids.shape[0]
+    C = state.capacity
+    L = state.num_levels
+    Cu = panel_ids.shape[0]
+    ids = ids.astype(jnp.int32)
+    lvls = lvls.astype(jnp.int32)
+
+    ep0 = state.ep
+    has_graph = ep0 >= 0
+    old_top = jnp.where(has_graph, state.level[jnp.clip(ep0, 0, C - 1)], -1)
+    conn_top = jnp.minimum(lvls, old_top)
+
+    pc = jnp.clip(panel_ids, 0, C - 1)
+    pok = (panel_ids >= 0) & state.active[pc]
+    plvl = jnp.where(pok, state.level[pc], -1)
+
+    store = state.coarse_table
+    store = state.vlo if store is None else store
+    lo = store.dtype == jnp.bfloat16
+    qc = jnp.clip(ids, 0, C - 1)
+    qv = store[qc]
+    qn = state.norms[qc]
+    pv = store[pc]
+    pn = state.norms[pc]
+    dots = jnp.einsum("wd,cd->wc", qv, pv,
+                      precision=None if lo else dst.DOT_PRECISION,
+                      preferred_element_type=jnp.float32)
+    dall = dst.from_dot(cfg.metric, dots, qn[:, None], pn[None, :])
+    # self-exclusion (the wave's own members are already in the panel)
+    dall = jnp.where(panel_ids[None, :] == ids[:, None], _INF, dall)
+
+    qvf = state.vlo[qc]
+    NC = min(cfg.ef_construction, Cu)
+    for layer in range(L - 1, 0, -1):
+        conn = valid & has_graph & (layer <= conn_top) & (lvls >= layer)
+        d_l = jnp.where((pok & (plvl >= layer))[None, :], dall, _INF)
+        vals, idx = lax.approx_min_k(d_l, NC, recall_target=0.95)
+        ci = jnp.where(jnp.isfinite(vals), panel_ids[idx], -1)
+        # f32 rescore of the survivors (bf16 coarse noise must not reach
+        # the heuristic's accept test)
+        cic = jnp.clip(ci, 0, C - 1)
+        cd = dst.gathered(cfg.metric, qvf, qn, state.vlo[cic],
+                          state.norms[cic])
+        cd = jnp.where(ci >= 0, cd, _INF)
+        nbr_l, deg_l, _ = _apply_connections(cfg, state, layer, ids, cd, ci,
+                                             conn, cfg.max_edges)
+        state = with_nbr_slice(state, layer, nbr_l, deg_l)
+    return state
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def base_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid,
                  up_lanes, up_entry):
     """Phase 3: layer-0 connections for the whole wave + entry-point
@@ -341,9 +433,10 @@ def base_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid,
         count=state.count + jnp.sum(valid, dtype=jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "nscan"),
+         donate_argnames=("state",))
 def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
-                       valid):
+                       valid, nscan: int | None = None):
     """Phase 3 (exact variant): layer-0 connections from *exact* MXU
     brute-force candidates instead of beam search.
 
@@ -368,14 +461,21 @@ def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
     has_graph = ep0 >= 0
     old_top = jnp.where(has_graph, state.level[jnp.clip(ep0, 0, C - 1)], -1)
 
+    # Scan only the slot prefix actually built so far (``nscan`` is the
+    # host's bucketed high-water mark): with capacity preallocated at the
+    # final corpus size, a full-width scan pays the 8M-row cost from the
+    # very first wave.  Prefix slicing keeps survivor positions == global
+    # ids; the f32 rescore inside exact_knn2 gathers from the full store.
+    ns = C if nscan is None else min(nscan, C)
     ct = state.coarse_table
     if ct is not None and C >= (1 << 21):
-        cd, ci = exact_knn2(cfg.metric, state.vectors, ct, state.norms,
-                            state.active, vecs, cfg.ef_construction,
-                            exclude=ids)
+        cd, ci = exact_knn2(cfg.metric, state.vectors, ct[:ns],
+                            state.norms[:ns], state.active[:ns], vecs,
+                            cfg.ef_construction, exclude=ids)
     else:
-        cd, ci = exact_knn(cfg.metric, state.vlo, state.norms, state.active,
-                           vecs, cfg.ef_construction, exclude=ids)
+        cd, ci = exact_knn(cfg.metric, state.vlo[:ns], state.norms[:ns],
+                           state.active[:ns], vecs, cfg.ef_construction,
+                           exclude=ids)
     conn0 = valid & has_graph
     nbr0, deg0, _ = _apply_connections(cfg, state, 0, ids, cd, ci, conn0,
                                        2 * cfg.max_edges)

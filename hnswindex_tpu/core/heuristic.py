@@ -51,61 +51,92 @@ def prune(metric: str,
     order = jnp.argsort(d, axis=1, stable=True)
     rows = jnp.arange(B)[:, None]
     sid = jnp.take_along_axis(cand_ids, order, axis=1)
-    sd = jnp.take_along_axis(d, order, axis=1)
     svalid = jnp.take_along_axis(valid, order, axis=1)
-    svecs = jnp.take_along_axis(cand_vecs, order[:, :, None], axis=1)
-    snorms = jnp.take_along_axis(cand_norms, order, axis=1)
 
     # Pairwise candidate-candidate distances (B, N, N) — one MXU batch op
     # replacing the reference's per-pair distanceFnc calls (Heuristic.cs:34).
+    # Computed in the ORIGINAL candidate order: only the (B, N, N) boolean
+    # conflict tensor is permuted into sorted order afterwards (two bool
+    # gathers, ~8x less HBM traffic than gathering the (B, N, D) f32
+    # vectors into sorted order first).
     if dst.is_custom(metric):
         # general path: one candidate column at a time keeps the (B, N, D)
         # broadcast bounded
         fn = dst._CUSTOM_METRICS[metric]
-        pd = lax.map(lambda i: fn(svecs[:, i, None, :], svecs),
+        pd = lax.map(lambda i: fn(cand_vecs[:, i, None, :], cand_vecs),
                      jnp.arange(N)).transpose(1, 0, 2)  # (B, i, j)
     else:
-        lo = svecs.dtype == jnp.bfloat16
-        dots = jnp.einsum("bid,bjd->bij", svecs, svecs,
+        lo = cand_vecs.dtype == jnp.bfloat16
+        dots = jnp.einsum("bid,bjd->bij", cand_vecs, cand_vecs,
                           precision=None if lo else dst.DOT_PRECISION,
                           preferred_element_type=jnp.float32)
-        pd = dst.from_dot(metric, dots, snorms[:, :, None],
-                          snorms[:, None, :])
+        pd = dst.from_dot(metric, dots, cand_norms[:, :, None],
+                          cand_norms[:, None, :])
 
     n_valid = jnp.sum(svalid, axis=1)
     keep_all = n_valid < max_edges  # Heuristic.cs:13-18
 
-    # The sequential accept loop (Heuristic.cs:23-41) is computed exactly by
-    # wavefront fixed-point: candidate c conflicts with earlier candidate s
-    # iff d(s, c) < d(c, target); each round decides every candidate whose
-    # earlier conflicts are all decided (reject if an accepted conflict
-    # exists, accept if none can).  The first undecided candidate is always
-    # decidable, so rounds <= conflict-chain depth — single-digit in
-    # practice vs N sequential steps.  The accept-count cap is applied
-    # afterwards by truncation, which matches the sequential break exactly
-    # (acceptance of c only depends on accepts before c).
-    tri = (jnp.arange(N)[:, None] < jnp.arange(N)[None, :])  # s earlier than c
-    conflict = tri[None, :, :] & (pd < sd[:, None, :]) \
-        & svalid[:, :, None] & svalid[:, None, :]            # (B, s, c)
+    # The sequential accept loop (Heuristic.cs:23-41), computed exactly:
+    # candidate c conflicts with earlier candidate s iff
+    # d(s, c) < d(c, target); c is accepted iff no *accepted* earlier
+    # conflict exists.  A lax.scan over the sorted candidate axis decides
+    # one column per step from the running accept mask — each step touches
+    # only (B, N) elements, so the whole scan reads the conflict tensor
+    # once, O(B*N^2) total.  (A wavefront fixed-point over undecided
+    # candidates re-reads the full (B, N, N) tensor every round and its
+    # round count is the batch's *worst* conflict-chain depth, which at
+    # construction batch sizes saturates at ~N — measured 93 ms vs ~6 ms
+    # for this scan at B=16k, N=64 on v5e.)  The accept-count cap is
+    # applied afterwards by truncation, which matches the sequential break
+    # exactly (acceptance of c only depends on accepts before c).
+    # conflict in original order, then permute into sorted order with
+    # one-hot MXU matmuls: cs = P @ C @ P^T per row, P[i, a] = (order[i]
+    # == a).  TPU gathers are row-count-bound (~70M rows/s), so any
+    # (B*N)-row take_along of this tensor costs ~15 ms at B=16k — the two
+    # 64^3 batched matmuls cost ~0.2 ms and are exact on 0/1 values.
+    conflict_u = (pd < d[:, None, :]) \
+        & valid[:, :, None] & valid[:, None, :]              # (B, a, b)
+    onehot = (order[:, :, None] ==
+              jnp.arange(N)[None, None, :]).astype(jnp.bfloat16)
+    cu16 = conflict_u.astype(jnp.bfloat16)
+    cs = jnp.einsum("pia,pab->pib", onehot, cu16,
+                    preferred_element_type=jnp.float32)
+    cs = jnp.einsum("pib,pjb->pij", cs.astype(jnp.bfloat16), onehot,
+                    preferred_element_type=jnp.float32)
+    tri = (jnp.arange(N)[:, None] < jnp.arange(N)[None, :])  # s earlier
+    conflict = tri[None, :, :] & (cs > 0.5)
 
-    def cond(carry):
-        acc, rej, it = carry
-        und = svalid & ~acc & ~rej
-        return jnp.any(und) & (it < N)
+    # Unrolled scan over sorted candidate columns, U at a time: the U
+    # columns' hits against the running accept mask batch into one read,
+    # and the intra-group dependencies are fixed up with (B,) ops — exact
+    # sequential semantics at a quarter of the step count.
+    U = 4
+    G = -(-N // U)
+    Np = G * U
+    cols = jnp.moveaxis(conflict, 2, 0)                      # (N, B, N)
+    cols = jnp.pad(cols, ((0, Np - N), (0, 0), (0, 0)))
+    cols_g = cols.reshape(G, U, B, N)
+    jbase = jnp.arange(G, dtype=jnp.int32) * U
 
-    def round_(carry):
-        acc, rej, it = carry
-        und = svalid & ~acc & ~rej
-        hit_acc = jnp.any(conflict & acc[:, :, None], axis=1)
-        blocked = jnp.any(conflict & (acc | und)[:, :, None], axis=1)
-        rej_new = und & hit_acc
-        acc_new = und & ~blocked
-        return acc | acc_new, rej | rej_new, it + 1
+    def step(acc, xs):
+        jb, cg = xs                                          # cg (U, B, N)
+        hit = jnp.any(cg & acc[None, :, :N], axis=2)         # (U, B)
 
-    acc0 = jnp.zeros((B, N), bool)
-    accepted, _, _ = lax.while_loop(
-        cond, round_, (acc0, jnp.zeros((B, N), bool),
-                       jnp.asarray(0, jnp.int32)))
+        def intra(p, k):                                     # (B,) col j_k at s=j_p
+            return lax.dynamic_slice(cg[k], (0, jb + p), (B, 1))[:, 0]
+
+        a0 = ~hit[0]
+        a1 = ~(hit[1] | (a0 & intra(0, 1)))
+        a2 = ~(hit[2] | (a0 & intra(0, 2)) | (a1 & intra(1, 2)))
+        a3 = ~(hit[3] | (a0 & intra(0, 3)) | (a1 & intra(1, 3))
+               | (a2 & intra(2, 3)))
+        blk = jnp.stack([a0, a1, a2, a3], axis=1)            # (B, U)
+        acc = lax.dynamic_update_slice(acc, blk, (0, jb))
+        return acc, None
+
+    acc0 = jnp.zeros((B, Np), bool)
+    accepted, _ = lax.scan(step, acc0, (jbase, cols_g))
+    accepted = accepted[:, :N] & svalid
     accepted = jnp.where(keep_all[:, None], svalid, accepted)
     # cap at max_edges accepts (in ascending-distance order)
     accepted = accepted & (jnp.cumsum(accepted, axis=1) <= max_edges)

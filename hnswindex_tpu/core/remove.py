@@ -159,8 +159,12 @@ def exact_repair_candidates(cfg: GraphConfig, state: GraphState, scan_ids,
     allowed = state.active & (state.level >= layer)
     ct = state.coarse_table
     if ct is not None and C >= (1 << 20):
+        # repair only consumes a REPAIR_SPAN prefix of the candidates, so
+        # a narrow survivor floor suffices — the (wave, S)-row rescore
+        # gather is row-count-bound and was the scan's dominant cost
         _, ids = exact_knn2(cfg.metric, state.vectors, ct, state.norms,
-                            allowed, q, remove_ef, oversample=2)
+                            allowed, q, remove_ef, oversample=2,
+                            survivor_floor=64)
     else:
         _, ids = exact_knn(cfg.metric, state.vlo, state.norms, allowed, q,
                            remove_ef)
@@ -174,9 +178,13 @@ def affected_masks_all(cfg: GraphConfig, state: GraphState, rem_ids):
     Edges into removed nodes are never *added* during repair, so the
     per-layer in-neighbor sets depend only on the pre-repair state — one
     table scan + one host readback serves the whole wave (each readback
-    costs ~35 ms through remote runtimes).  Returns ``(affected, multi)``:
-    ``multi`` marks rows that lost 2+ neighbors and need the wide repair
-    union; everyone else takes the fan-in-1 fast tier.
+    costs ~35 ms through remote runtimes).  Returns ``(affected, multi)``
+    as bit-packed ``(L, ceil(C/8)) uint8`` arrays (``jnp.packbits`` along
+    the row axis): the masks exist only to cross the host boundary, and
+    packing cuts the transfer 8x — at 8M rows the raw (L, C) bool pair
+    is ~128 MB, multi-second through remote relays.  ``multi`` marks rows
+    that lost 2+ neighbors and need the wide repair union; everyone else
+    takes the fan-in-1 fast tier.
 
     Scanned in bounded row blocks sliced straight off the tables: using a
     whole (C, K) slice as one gather-index tensor makes XLA materialize
@@ -203,7 +211,8 @@ def affected_masks_all(cfg: GraphConfig, state: GraphState, rem_ids):
         a = (nhit > 0) & state.active
         aff.append(a)
         mul.append(a & (nhit >= 2))
-    return jnp.stack(aff), jnp.stack(mul)
+    return (jnp.packbits(jnp.stack(aff), axis=-1),
+            jnp.packbits(jnp.stack(mul), axis=-1))
 
 
 @partial(jax.jit, donate_argnames=("nbr_l", "deg_l"))
@@ -373,7 +382,9 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
         # corpora cap the wave instead.
         cap = 32768 if state.capacity <= (1 << 21) else 4096
         remove_buckets = (8, 64, 512, 4096, cap)
-    lvl = np.asarray(state.level)
+    # levels of the removed ids only — a full (C,) level mirror costs a
+    # multi-second readback at 8M rows through remote relays
+    lvl_arr = np.asarray(state.level[jnp.asarray(arr)])
     max_iters = cfg.search_iter_factor * remove_ef + 16
 
     def bucket(n):
@@ -384,16 +395,20 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
 
     for start in range(0, arr.size, remove_buckets[-1]):
         wave = arr[start:start + remove_buckets[-1]]
+        wave_lvl = lvl_arr[start:start + remove_buckets[-1]]
         b = bucket(wave.size)
         rem = np.full(b, -1, dtype=np.int32)
         rem[:wave.size] = wave
         rem_j = jnp.asarray(rem)
 
         state = mark_removed(cfg, state, rem_j)
-        top = int(lvl[wave].max())
+        top = int(wave_lvl.max())
         aff_j, multi_j = affected_masks_all(cfg, state, rem_j)
-        aff_all = np.asarray(aff_j)
-        multi_all = np.asarray(multi_j)
+        C = state.capacity
+        aff_all = np.unpackbits(np.asarray(aff_j), axis=-1)[:, :C] \
+            .astype(bool)
+        multi_all = np.unpackbits(np.asarray(multi_j), axis=-1)[:, :C] \
+            .astype(bool)
         for l in range(top, -1, -1):
             # candidate scans cover only the wave members on this layer —
             # upper layers hold ~1/M^l of the wave, and a full-wave exact
@@ -401,7 +416,7 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
             if l == 0:
                 scan_j = rem_j
             else:
-                on_l = wave[lvl[wave] >= l]
+                on_l = wave[wave_lvl >= l]
                 sb = bucket(on_l.size)
                 spad = np.full(sb, -1, dtype=np.int32)
                 spad[:on_l.size] = on_l

@@ -35,7 +35,8 @@ from .core import graph as G
 from .core import remove as R
 from .core import snapshot, stats
 from .core.construct import (base_connect, base_connect_exact,
-                             scatter_wave, upper_connect)
+                             scatter_wave, upper_connect,
+                             upper_connect_exact)
 from .core.search import knn_search, range_search
 from .ops import distance as dst
 from .params import HNSWParameters
@@ -56,12 +57,20 @@ def resolve_rank_dtype(pref: str) -> str:
 # materializes the (C, K) neighbor-table slice in a lane-padded T(8,128)
 # layout (K=32 -> 128, a 4x HBM blowup that OOMs at 8M rows); width >= 8
 # always gets the compact layout, and padding one item to 8 lanes is free.
-WAVE_BUCKETS = (8, 64, 512)
+WAVE_BUCKETS = (8, 64, 512, 4096)
 UPPER_BUCKETS = (8, 64, 512)
 QUERY_BUCKETS = (8, 16, 128, 1024)
 # range-search result-pool ladder; radii covering more than the cap are
 # answered by an exact scan instead of unbounded pool growth
 RANGE_POOLS = (64, 512, 4096)
+# floor of the exact-build scan-prefix bucket ladder: coarse power-of-2
+# buckets keep the number of wave-program recompiles small (remote
+# compiles cost tens of seconds) while the scan cost tracks corpus growth
+SCAN_FLOOR = 1 << 20
+# upper-panel minimum capacity: large enough that the panel (and the
+# upper_connect_exact program compiled against its width) is not regrown
+# several times early in a big build — a (65536,) i32 array is 256 KB
+_PANEL_MIN_CAP = 1 << 16
 # Host-mirror budget for the stored vectors.  Below this the corpus is
 # mirrored once and results refine on the host in float64; above it all
 # refinement runs on device (utils/refine.refine_on_device) — host links
@@ -157,6 +166,16 @@ class HNSWIndex:
         # lazily-built caches, dropped on any mutation
         self._pack = None            # core/pack.QueryPack for layer-0 serve
         self._host_vectors: Optional[np.ndarray] = None
+        # Compacted upper-node panel for the exact build path
+        # (construct.upper_connect_exact): device id array of every live
+        # node with level >= 1, host-tracked positions.  _upper_cnt == -1
+        # marks "rebuild from device state" (set by the load paths).
+        self._upper_ids = None       # (Cu,) i32 device array, -1 padded
+        self._upper_cnt = 0          # append cursor (includes holes)
+        self._upper_holes = 0
+        self._upper_pos: dict = {}   # live id -> panel position
+        # 1 + highest slot ever activated: bounds the exact-scan prefix
+        self._scan_hwm = 0
 
     # ------------------------------------------------------------------
     # construction
@@ -207,6 +226,7 @@ class HNSWIndex:
             # edges (GraphConnector.cs:27-33)
             self._state = G.seed_first_node(self._cfg, self._state,
                                             int(ids[0]), a[0], int(lvls[0]))
+            self._note_seed(int(ids[0]), int(lvls[0]))
             self._count_host = 1
             i = 1
 
@@ -228,6 +248,92 @@ class HNSWIndex:
             i += w
         return ids
 
+    # -- upper-node panel (exact build path) ---------------------------
+    # The panel is the device-resident compacted id list of every live
+    # node with level >= 1, consumed by construct.upper_connect_exact.
+    # The host owns membership (it samples the levels), so maintenance
+    # never reads device state on the hot path.
+
+    def _panel_rebuild(self) -> None:
+        """Rebuild the panel from device state (after a snapshot load)."""
+        st = self._state
+        C = st.capacity
+        m = np.unpackbits(np.asarray(jnp.packbits(
+            st.active & (st.level >= 1))))[:C].astype(bool)
+        ids = np.flatnonzero(m).astype(np.int32)
+        self._upper_pos = {int(x): i for i, x in enumerate(ids)}
+        self._upper_cnt = int(ids.size)
+        self._upper_holes = 0
+        cap = max(_PANEL_MIN_CAP, _next_pow2(max(1, ids.size)))
+        arr = np.full(cap, -1, np.int32)
+        arr[:ids.size] = ids
+        self._upper_ids = jnp.asarray(arr)
+
+    def _panel_compact(self) -> None:
+        ids = np.fromiter(self._upper_pos.keys(), np.int32,
+                          len(self._upper_pos))
+        self._upper_pos = {int(x): i for i, x in enumerate(ids)}
+        self._upper_cnt = int(ids.size)
+        self._upper_holes = 0
+        cap = max(_PANEL_MIN_CAP, _next_pow2(max(1, ids.size)))
+        arr = np.full(cap, -1, np.int32)
+        arr[:ids.size] = ids
+        self._upper_ids = jnp.asarray(arr)
+
+    def _panel_append(self, ids: np.ndarray) -> None:
+        """Record newly inserted level>=1 node ids."""
+        if self._upper_cnt < 0:
+            # lazy rebuild runs after the current wave's scatter, so the
+            # rebuilt panel may already hold this wave's members — the
+            # membership filter below drops them
+            self._panel_rebuild()
+        if ids.size and self._upper_pos:
+            ids = ids[[int(x) not in self._upper_pos for x in ids]]
+        n = int(ids.size)
+        if n == 0:
+            return
+        if self._upper_holes > max(1024, self._upper_cnt // 2):
+            self._panel_compact()
+        need = self._upper_cnt + n
+        if self._upper_ids is None or need > self._upper_ids.shape[0]:
+            cap = max(_PANEL_MIN_CAP, _next_pow2(need))
+            arr = jnp.full((cap,), -1, jnp.int32)
+            if self._upper_ids is not None and self._upper_cnt:
+                arr = arr.at[: self._upper_ids.shape[0]].set(self._upper_ids)
+            self._upper_ids = arr
+        # bucket the scatter lanes: an exact-size scatter would compile a
+        # fresh program for every distinct per-wave upper count
+        b = _bucket(n, UPPER_BUCKETS)
+        pos = np.full(b, 1 << 30, np.int64)      # OOB lanes drop
+        vals = np.full(b, -1, np.int32)
+        pos[:n] = np.arange(self._upper_cnt, need)
+        vals[:n] = ids.astype(np.int32)
+        self._upper_ids = self._upper_ids.at[jnp.asarray(pos)].set(
+            jnp.asarray(vals), mode="drop")
+        for p, x in zip(pos[:n], ids):
+            self._upper_pos[int(x)] = int(p)
+        self._upper_cnt = need
+
+    def _panel_remove(self, ids: np.ndarray) -> None:
+        dead = [self._upper_pos.pop(int(x)) for x in ids
+                if int(x) in self._upper_pos]
+        if not dead or self._upper_cnt < 0 or self._upper_ids is None:
+            # stale panel (post-load): the eventual lazy rebuild reads the
+            # post-removal device state, so nothing to patch here
+            return
+        b = _bucket(len(dead), (64, 4096, 1 << 20))
+        pos = np.full(b, 1 << 30, np.int64)      # OOB lanes drop
+        pos[: len(dead)] = dead
+        self._upper_ids = self._upper_ids.at[jnp.asarray(pos)].set(
+            -1, mode="drop")
+        self._upper_holes += len(dead)
+
+    def _note_seed(self, node: int, lvl: int) -> None:
+        """Bookkeeping for the bootstrap node (seed_first_node)."""
+        self._scan_hwm = max(self._scan_hwm, node + 1)
+        if not dst.is_custom(self.metric) and lvl >= 1:
+            self._panel_append(np.asarray([node], np.int32))
+
     def _insert_wave(self, wid, wvec, wlvl, valid) -> None:
         """Three-phase wave insert: scatter, narrow upper-layer connect,
         full-width base connect.  Upper items (~1/M of a wave) are
@@ -242,7 +348,12 @@ class HNSWIndex:
         self._state = scatter_wave(cfg, self._state, jnp.asarray(wid),
                                    jnp.asarray(wvec), jnp.asarray(wlvl),
                                    jnp.asarray(valid))
+        self._scan_hwm = max(self._scan_hwm, int(wid[valid].max()) + 1)
         up = np.flatnonzero((wlvl >= 1) & valid)
+        if not dst.is_custom(self.metric):
+            # keep the panel current even on beam-path waves: removals can
+            # drop the count back under the exact threshold later
+            self._panel_append(wid[up])
         up_lanes = np.full(1, -1, dtype=np.int32)
         ue = jnp.full((1,), -1, jnp.int32)
         if up.size:
@@ -255,14 +366,21 @@ class HNSWIndex:
             ulvl[:up.size] = wlvl[up]
             uval[:up.size] = True
             lanes[:up.size] = up
-            self._state, ue = upper_connect(
-                cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
-                jnp.asarray(uval))
-            up_lanes = lanes
+            if use_exact:
+                self._state = upper_connect_exact(
+                    cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
+                    jnp.asarray(uval), self._upper_ids)
+            else:
+                self._state, ue = upper_connect(
+                    cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
+                    jnp.asarray(uval))
+                up_lanes = lanes
         if use_exact:
+            nscan = min(self._state.capacity,
+                        max(SCAN_FLOOR, _next_pow2(self._scan_hwm)))
             self._state = base_connect_exact(
                 cfg, self._state, jnp.asarray(wid), jnp.asarray(wlvl),
-                jnp.asarray(valid))
+                jnp.asarray(valid), nscan=nscan)
         else:
             self._state = base_connect(
                 cfg, self._state, jnp.asarray(wid), jnp.asarray(wlvl),
@@ -294,6 +412,7 @@ class HNSWIndex:
                 self.params.remove_max_candidates)
         self._free.extend(int(x) for x in arr)
         self._count_host -= int(arr.size)
+        self._panel_remove(arr)
         return
 
     def update(self, ids, vecs) -> None:
@@ -327,6 +446,7 @@ class HNSWIndex:
         if self._count_host == 0:
             self._state = G.seed_first_node(self._cfg, self._state,
                                             int(arr[0]), a[0], int(lvls[0]))
+            self._note_seed(int(arr[0]), int(lvls[0]))
             self._count_host = 1
             i = 1
         while i < arr.size:
@@ -876,6 +996,9 @@ class HNSWIndex:
         idx._count_host = header["count"]
         idx._pack = None
         idx._host_vectors = None
+        idx._scan_hwm = idx._length
+        idx._upper_ids, idx._upper_cnt = None, -1   # lazy panel rebuild
+        idx._upper_holes, idx._upper_pos = 0, {}
         return idx
 
     @classmethod
@@ -921,6 +1044,11 @@ class HNSWIndex:
         idx._length = length
         idx._free = [int(x) for x in free]
         idx._count_host = int(count)
+        idx._scan_hwm = length
+        uids = np.flatnonzero(act & (lvl >= 1)).astype(np.int32)
+        idx._upper_ids, idx._upper_cnt = None, 0
+        idx._upper_holes, idx._upper_pos = 0, {}
+        idx._panel_append(uids)
         return idx
 
     def to_reference_snapshot(self, path: str) -> None:
@@ -1057,6 +1185,11 @@ class HNSWIndex:
         idx._length = snap.length
         idx._free = [int(x) for x in snap.removed]
         idx._count_host = snap.count
+        idx._scan_hwm = snap.length
+        uids = np.flatnonzero(act & (lvl >= 1)).astype(np.int32)
+        idx._upper_ids, idx._upper_cnt = None, 0
+        idx._upper_holes, idx._upper_pos = 0, {}
+        idx._panel_append(uids)
         return idx
 
     def items(self) -> np.ndarray:

@@ -99,12 +99,13 @@ def exact_knn(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("metric", "k", "block", "oversample",
-                                   "recall_target", "panel_bf16"))
+                                   "recall_target", "panel_bf16",
+                                   "survivor_floor"))
 def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
                norms: jnp.ndarray, active: jnp.ndarray, q: jnp.ndarray,
                k: int, block: int = _BLOCK, oversample: int = 4,
                exclude=None, recall_target: float = 0.95,
-               panel_bf16: bool = True):
+               panel_bf16: bool = True, survivor_floor: int = 256):
     """Two-stage exact top-k: bf16 coarse scan + exact f32 rescore.
 
     Stage 1 scans the whole corpus on the MXU's native bf16 input type
@@ -120,13 +121,24 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
     if dst.is_custom(metric):
         raise ValueError("exact_knn2 requires a dot-decomposable metric")
     C, D = vectors.shape
+    # The coarse scan may cover only a prefix of the store: construction
+    # passes ``coarse/norms/active`` sliced to the high-water slot mark so
+    # the per-wave scan cost tracks the corpus actually built, not the
+    # preallocated capacity (a 4x saving early in a capacity-sized build).
+    # Survivor ids are positions in the prefix == global ids, so the f32
+    # rescore still gathers from the full ``vectors`` store.
+    Cs = coarse.shape[0]
     B = q.shape[0]
     # Survivor width: the k+256 floor keeps small user-facing k deep
     # inside the cut (the approx reduce's misses cluster near the
     # boundary; measured recall@10 at 1M clustered: S=74 -> 0.948,
     # S=266 -> 0.997, S=510 -> 0.999), and the f32 rescore restores
     # exact order among survivors.
-    S = min(C, max(oversample * k, k + 256))
+    # The k+floor survivor width keeps user-facing k deep inside the
+    # approx reduce's miss zone; candidate-generation callers that only
+    # consume a prefix of the k results lower ``survivor_floor`` to shrink
+    # the (B, S)-row rescore gather (row-count-bound).
+    S = min(Cs, max(oversample * k, k + survivor_floor))
     qn = dst.norm_data(metric, q)
     qlo = q.astype(jnp.bfloat16)
 
@@ -137,7 +149,7 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
     # at 8M rows and dominated the whole scan (~8x the fused form).  The
     # elementwise chain (from_dot -> masks -> bf16 cast) fuses into the
     # einsum's consumer, so the panel is written once at 2 bytes/row.
-    QC = min(B, max(16, (1 << 31) // (4 * C)))
+    QC = min(B, max(16, (1 << 31) // (4 * Cs)))
     n_chunks = -(-B // QC)
     Bp = n_chunks * QC
     qpad0 = jnp.pad(qlo, ((0, Bp - B), (0, 0)))
@@ -151,7 +163,7 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
                           preferred_element_type=jnp.float32)
         d = dst.from_dot(metric, dots, qnc[:, None], norms[None, :])
         d = jnp.where(active[None, :], d, jnp.inf)
-        ids_row = jax.lax.broadcasted_iota(jnp.int32, (QC, C), 1)
+        ids_row = jax.lax.broadcasted_iota(jnp.int32, (QC, Cs), 1)
         d = jnp.where(ids_row == exc_c[:, None], jnp.inf, d)
         # The hardware PartialReduce's misses concentrate near the rank-S
         # cut boundary, so survivor quality is bought with a WIDE S (the
@@ -161,7 +173,7 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
         # noise (absorbed by S); panel_bf16=False keeps the panel f32 for
         # exactness-critical callers.
         d16 = d.astype(jnp.bfloat16) if panel_bf16 else d
-        vals, idx = lax.approx_min_k(d16, min(S, C),
+        vals, idx = lax.approx_min_k(d16, min(S, Cs),
                                      recall_target=recall_target)
         return vals.astype(jnp.float32), idx.astype(jnp.int32)
 
