@@ -34,19 +34,19 @@ np.asarray(jnp.sum(norms))
 
 def timeit(name, fn, *args):
     f = jax.jit(fn)
-    out = f(jnp.float32(0.0), *args)
+    out = f(jnp.float32(0.0), vecs, norms, *args)
     np.asarray(out)  # compile+warm
     t0 = time.perf_counter()
     acc = jnp.float32(0.0)
     for _ in range(R):
-        acc = f(acc, *args)
+        acc = f(acc, vecs, norms, *args)
     np.asarray(acc)
     dt = (time.perf_counter() - t0) / R * 1000
     print(f"{name}: {dt:.1f} ms", file=sys.stderr, flush=True)
     return dt
 
 
-def stage_gather(eps, tids, cids):
+def stage_gather(eps, vecs, norms, tids, cids):
     tcc = jnp.clip(tids + (eps * 0).astype(jnp.int32), 0, C - 1)
     ccc = jnp.clip(cids, 0, C - 1)
     tvec = vecs[tcc]
@@ -54,7 +54,7 @@ def stage_gather(eps, tids, cids):
     return jnp.sum(tvec[:, 0]) + jnp.sum(cvecs[:, 0, 0])
 
 
-def stage_cd(eps, tids, cids):
+def stage_cd(eps, vecs, norms, tids, cids):
     tcc = jnp.clip(tids + (eps * 0).astype(jnp.int32), 0, C - 1)
     ccc = jnp.clip(cids, 0, C - 1)
     tvec, tn = vecs[tcc], norms[tcc]
@@ -63,7 +63,7 @@ def stage_cd(eps, tids, cids):
     return jnp.sum(cd)
 
 
-def stage_pair(eps, tids, cids):
+def stage_pair(eps, vecs, norms, tids, cids):
     ccc = jnp.clip(cids + (eps * 0).astype(jnp.int32), 0, C - 1)
     cvecs, cn = vecs[ccc], norms[ccc]
     dots = jnp.einsum("bid,bjd->bij", cvecs, cvecs,
@@ -73,7 +73,7 @@ def stage_pair(eps, tids, cids):
     return jnp.sum(pd)
 
 
-def stage_pair_bf16(eps, tids, cids):
+def stage_pair_bf16(eps, vecs, norms, tids, cids):
     ccc = jnp.clip(cids + (eps * 0).astype(jnp.int32), 0, C - 1)
     cvecs, cn = vecs[ccc].astype(jnp.bfloat16), norms[ccc]
     dots = jnp.einsum("bid,bjd->bij", cvecs, cvecs,
@@ -82,7 +82,7 @@ def stage_pair_bf16(eps, tids, cids):
     return jnp.sum(pd)
 
 
-def stage_sortperm(eps, tids, cids):
+def stage_sortperm(eps, vecs, norms, tids, cids):
     """argsort + one-hot permute of the conflict tensor."""
     ccc = jnp.clip(cids + (eps * 0).astype(jnp.int32), 0, C - 1)
     tcc = jnp.clip(tids, 0, C - 1)
@@ -107,7 +107,7 @@ def stage_sortperm(eps, tids, cids):
     return jnp.sum(cs)
 
 
-def stage_full(eps, tids, cids):
+def stage_full(eps, vecs, norms, tids, cids):
     from hnswindex_tpu.core import heuristic
     ccc = jnp.clip(cids + (eps * 0).astype(jnp.int32), 0, C - 1)
     tcc = jnp.clip(tids, 0, C - 1)
@@ -119,7 +119,7 @@ def stage_full(eps, tids, cids):
     return jnp.sum(sel.astype(jnp.float32)) + jnp.sum(cnt)
 
 
-def stage_scanonly(eps, tids, cids):
+def stage_scanonly(eps, vecs, norms, tids, cids):
     """conflict tensor synthesized cheaply; time moveaxis+scan+compact."""
     from hnswindex_tpu.core import heuristic as H
     r = jax.random.uniform(jax.random.PRNGKey(9), (B, N, N)) + eps * 0
@@ -155,7 +155,7 @@ def stage_scanonly(eps, tids, cids):
     return jnp.sum(accepted)
 
 
-timeit("trivial", lambda eps, t, c: eps + jnp.sum(t) * 0.0, tids, cids)
+timeit("trivial", lambda eps, v, n, t, c: eps + jnp.sum(t) * 0.0, tids, cids)
 timeit("gather", stage_gather, tids, cids)
 timeit("gather+cd", stage_cd, tids, cids)
 timeit("pairwise f32-HIGHEST", stage_pair, tids, cids)
