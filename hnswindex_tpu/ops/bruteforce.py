@@ -98,14 +98,20 @@ def exact_knn(metric: str, vectors: jnp.ndarray, norms: jnp.ndarray,
     return bd, bi
 
 
+#: Lane count of the fused streaming scan (ops/fused_scan.py); also the
+#: upper bound on its survivor width.
+FUSED_BS = 1024
+
+
 @partial(jax.jit, static_argnames=("metric", "k", "block", "oversample",
                                    "recall_target", "panel_bf16",
-                                   "survivor_floor"))
+                                   "survivor_floor", "fused"))
 def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
                norms: jnp.ndarray, active: jnp.ndarray, q: jnp.ndarray,
                k: int, block: int = _BLOCK, oversample: int = 4,
                exclude=None, recall_target: float = 0.95,
-               panel_bf16: bool = True, survivor_floor: int = 256):
+               panel_bf16: bool = True, survivor_floor: int = 256,
+               fused: bool | None = None):
     """Two-stage exact top-k: bf16 coarse scan + exact f32 rescore.
 
     Stage 1 scans the whole corpus on the MXU's native bf16 input type
@@ -142,8 +148,44 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
     qn = dst.norm_data(metric, q)
     qlo = q.astype(jnp.bfloat16)
 
-    # Stage 1: full-width coarse scan, chunked over QUERY rows so the
-    # (QC, C) distance panel stays ~1 GB in bf16.  One einsum + ONE
+    # Stage 1 has two forms.  Preferred: the fused Pallas streaming scan
+    # (ops/fused_scan.lane_min_scan) — one read of the coarse table, the
+    # (B, FUSED_BS) lane-min accumulators resident in VMEM, no (B, C)
+    # panel at all (the panel's write+read was ~17 GB per 512-wave at
+    # 8.4M rows and dominated the scan).  Fallback (CPU tests, lane
+    # misalignment, wide S): the einsum + approx_min_k panel path.
+    if fused is None:
+        fused = (panel_bf16 and coarse.dtype == jnp.bfloat16
+                 and Cs % (8 * FUSED_BS) == 0 and S <= FUSED_BS
+                 and jax.default_backend() == "tpu")
+
+    if fused:
+        from .fused_scan import lane_min_scan, rank_transform
+
+        mult, bias = rank_transform(metric, norms, active)
+        QC = min(B, 1024)     # (QC, FUSED_BS) f32+i32 accumulators in VMEM
+        n_chunks = -(-B // QC)
+        Bp = n_chunks * QC
+        qpad0 = jnp.pad(qlo, ((0, Bp - B), (0, 0)))
+        exc = (jnp.pad(exclude, (0, Bp - B), constant_values=-1)
+               if exclude is not None else jnp.full((Bp,), -1, jnp.int32))
+
+        def fused_chunk(args):
+            qc, exc_c = args
+            vals, ids = lane_min_scan(coarse, mult, bias, qc, exc_c,
+                                      BS=FUSED_BS)
+            sv, sx = lax.approx_min_k(vals, S, recall_target=0.99)
+            sid = jnp.take_along_axis(ids, sx, axis=1)
+            # lanes that never saw a finite key carry ~3e38 sentinels
+            return jnp.where(sv < 1.0e37, sid, -1)
+
+        si = lax.map(fused_chunk, (qpad0.reshape(n_chunks, QC, D),
+                                   exc.reshape(n_chunks, QC)))
+        si = si.reshape(Bp, S)[:B]
+        return _rescore_topk(metric, vectors, norms, q, qn, si, k)
+
+    # Fallback stage 1: full-width coarse scan, chunked over QUERY rows so
+    # the (QC, C) distance panel stays ~1 GB in bf16.  One einsum + ONE
     # hardware PartialReduce per chunk: a corpus-block fori_loop issuing a
     # separate approx_min_k per block costs hundreds of narrow reductions
     # at 8M rows and dominated the whole scan (~8x the fused form).  The
@@ -187,7 +229,14 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
     # rescoring those rows against the exact store would resurrect them
     # with finite distances
     si = jnp.where(jnp.isfinite(sbd), si, -1)
+    return _rescore_topk(metric, vectors, norms, q, qn, si, k)
 
+
+def _rescore_topk(metric: str, vectors, norms, q, qn, si, k: int):
+    """Stage 2: gather the (B, S) survivor rows, rescore in f32, and take
+    the exact top-k among them (-1 survivor slots stay masked)."""
+    C = vectors.shape[0]
+    B, S = si.shape
     chunk = min(B, 2048)
     n_chunks = -(-B // chunk)
     qpad = jnp.pad(q, ((0, n_chunks * chunk - B), (0, 0)))
