@@ -25,6 +25,86 @@ from ..ops import distance as dst
 
 _INF = jnp.inf
 
+#: Accept-loop implementation: "scan" = lax.scan over column groups (one
+#: compiled step, small program), "unroll" = fully unrolled group chain
+#: with a running hit accumulator (no per-step scan dispatch, static
+#: slices only — bigger program, faster steps).  Both compute the exact
+#: sequential accept semantics; equivalence is pinned by
+#: tests/test_heuristic.py::test_accept_impls_agree.
+ACCEPT_MODE = "scan"
+
+
+def _accept_scan(conflict: jnp.ndarray) -> jnp.ndarray:
+    """lax.scan over sorted candidate columns, U at a time: the U columns'
+    hits against the running accept mask batch into one read, and the
+    intra-group dependencies are fixed up with (B,) ops — exact sequential
+    semantics at a quarter of the step count."""
+    B, N, _ = conflict.shape
+    U = 4
+    G = -(-N // U)
+    Np = G * U
+    cols = jnp.moveaxis(conflict, 2, 0)                      # (N, B, N)
+    cols = jnp.pad(cols, ((0, Np - N), (0, 0), (0, 0)))
+    cols_g = cols.reshape(G, U, B, N)
+    jbase = jnp.arange(G, dtype=jnp.int32) * U
+
+    def step(acc, xs):
+        jb, cg = xs                                          # cg (U, B, N)
+        hit = jnp.any(cg & acc[None, :, :N], axis=2)         # (U, B)
+
+        def intra(p, k):                                     # (B,) col j_k at s=j_p
+            return lax.dynamic_slice(cg[k], (0, jb + p), (B, 1))[:, 0]
+
+        a0 = ~hit[0]
+        a1 = ~(hit[1] | (a0 & intra(0, 1)))
+        a2 = ~(hit[2] | (a0 & intra(0, 2)) | (a1 & intra(1, 2)))
+        a3 = ~(hit[3] | (a0 & intra(0, 3)) | (a1 & intra(1, 3))
+               | (a2 & intra(2, 3)))
+        blk = jnp.stack([a0, a1, a2, a3], axis=1)            # (B, U)
+        acc = lax.dynamic_update_slice(acc, blk, (0, jb))
+        return acc, None
+
+    acc0 = jnp.zeros((B, Np), bool)
+    accepted, _ = lax.scan(step, acc0, (jbase, cols_g))
+    return accepted[:, :N]
+
+
+def _accept_unroll(conflict: jnp.ndarray) -> jnp.ndarray:
+    """Fully unrolled accept chain with a running hit accumulator.
+
+    Group g's acceptance needs only ``hacc[:, g*U:(g+1)*U]`` — whether any
+    *already-accepted* earlier candidate conflicts with each group member —
+    so after deciding a group, its members' conflict rows are OR-folded
+    into the accumulator and the conflict tensor is read exactly once
+    overall (same O(B*N^2) traffic as the scan), with no per-step scan
+    dispatch and no dynamic slices."""
+    B, N, _ = conflict.shape
+    U = 8
+    G = -(-N // U)
+    Np = G * U
+    confp = jnp.pad(conflict, ((0, 0), (0, Np - N), (0, Np - N)))
+    hacc = jnp.zeros((B, Np), bool)
+    blks = []
+    for g in range(G):
+        j0 = g * U
+        hit = hacc[:, j0:j0 + U]                             # (B, U)
+        it = confp[:, j0:j0 + U, j0:j0 + U]                  # (B, U, U)
+        a = [~hit[:, 0]]
+        for k in range(1, U):
+            h = hit[:, k]
+            for p in range(k):
+                h = h | (a[p] & it[:, p, k])
+            a.append(~h)
+        ag = jnp.stack(a, axis=1)                            # (B, U)
+        if g + 1 < G:
+            slab = confp[:, j0:j0 + U, :]                    # (B, U, Np)
+            hacc = hacc | jnp.any(slab & ag[:, :, None], axis=1)
+        blks.append(ag)
+    return jnp.concatenate(blks, axis=1)[:, :N]
+
+
+_ACCEPT_IMPLS = {"scan": _accept_scan, "unroll": _accept_unroll}
+
 
 def prune(metric: str,
           cand_ids: jnp.ndarray,     # (B, N) i32, -1 = invalid
@@ -106,37 +186,7 @@ def prune(metric: str,
     tri = (jnp.arange(N)[:, None] < jnp.arange(N)[None, :])  # s earlier
     conflict = tri[None, :, :] & (cs > 0.5)
 
-    # Unrolled scan over sorted candidate columns, U at a time: the U
-    # columns' hits against the running accept mask batch into one read,
-    # and the intra-group dependencies are fixed up with (B,) ops — exact
-    # sequential semantics at a quarter of the step count.
-    U = 4
-    G = -(-N // U)
-    Np = G * U
-    cols = jnp.moveaxis(conflict, 2, 0)                      # (N, B, N)
-    cols = jnp.pad(cols, ((0, Np - N), (0, 0), (0, 0)))
-    cols_g = cols.reshape(G, U, B, N)
-    jbase = jnp.arange(G, dtype=jnp.int32) * U
-
-    def step(acc, xs):
-        jb, cg = xs                                          # cg (U, B, N)
-        hit = jnp.any(cg & acc[None, :, :N], axis=2)         # (U, B)
-
-        def intra(p, k):                                     # (B,) col j_k at s=j_p
-            return lax.dynamic_slice(cg[k], (0, jb + p), (B, 1))[:, 0]
-
-        a0 = ~hit[0]
-        a1 = ~(hit[1] | (a0 & intra(0, 1)))
-        a2 = ~(hit[2] | (a0 & intra(0, 2)) | (a1 & intra(1, 2)))
-        a3 = ~(hit[3] | (a0 & intra(0, 3)) | (a1 & intra(1, 3))
-               | (a2 & intra(2, 3)))
-        blk = jnp.stack([a0, a1, a2, a3], axis=1)            # (B, U)
-        acc = lax.dynamic_update_slice(acc, blk, (0, jb))
-        return acc, None
-
-    acc0 = jnp.zeros((B, Np), bool)
-    accepted, _ = lax.scan(step, acc0, (jbase, cols_g))
-    accepted = accepted[:, :N] & svalid
+    accepted = _ACCEPT_IMPLS[ACCEPT_MODE](conflict) & svalid
     accepted = jnp.where(keep_all[:, None], svalid, accepted)
     # cap at max_edges accepts (in ascending-distance order)
     accepted = accepted & (jnp.cumsum(accepted, axis=1) <= max_edges)

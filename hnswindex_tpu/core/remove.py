@@ -142,32 +142,40 @@ def repair_candidates(cfg: GraphConfig, state: GraphState, scan_ids,
     return ids
 
 
-@partial(jax.jit, static_argnames=("cfg", "remove_ef"))
+@partial(jax.jit, static_argnames=("cfg", "remove_ef", "nscan"))
 def exact_repair_candidates(cfg: GraphConfig, state: GraphState, scan_ids,
-                            layer, remove_ef: int):
+                            layer, remove_ef: int,
+                            nscan: int | None = None):
     """Exact repair candidates: one masked MXU scan of the layer's
     population per removed node (the exact form of the reference's beam at
     GraphConnector.cs:96; the wave is already inactive so removed nodes
     exclude themselves).  ``scan_ids`` is the wave compacted to the nodes
     living on ``layer``.  Past 1M rows the scan runs two-stage (bf16
-    coarse + f32 rescore, ops/bruteforce.exact_knn2).  Returns
+    coarse + f32 rescore, ops/bruteforce.exact_knn2).  ``nscan`` bounds
+    the scan to the slot prefix actually built (the host's bucketed
+    high-water mark, same scheme as construct.base_connect_exact): with
+    capacity preallocated at the final corpus size a full-width scan pays
+    the 8M-row cost on a 100k-row index, and a power-of-2 prefix keeps
+    the fused lane-min scan's alignment requirement satisfied at
+    capacities that are not multiples of 8192.  Returns
     (len(scan_ids), remove_ef) ids."""
     from ..ops.bruteforce import exact_knn, exact_knn2
 
     C = state.capacity
+    ns = C if nscan is None else min(nscan, C)
     q = state.vectors[jnp.clip(scan_ids, 0, C - 1)]
-    allowed = state.active & (state.level >= layer)
+    allowed = (state.active & (state.level >= layer))[:ns]
     ct = state.coarse_table
     if ct is not None and C >= (1 << 20):
         # repair only consumes a REPAIR_SPAN prefix of the candidates, so
         # a narrow survivor floor suffices — the (wave, S)-row rescore
         # gather is row-count-bound and was the scan's dominant cost
-        _, ids = exact_knn2(cfg.metric, state.vectors, ct, state.norms,
-                            allowed, q, remove_ef, oversample=2,
-                            survivor_floor=64)
+        _, ids = exact_knn2(cfg.metric, state.vectors, ct[:ns],
+                            state.norms[:ns], allowed, q, remove_ef,
+                            oversample=2, survivor_floor=64)
     else:
-        _, ids = exact_knn(cfg.metric, state.vlo, state.norms, allowed, q,
-                           remove_ef)
+        _, ids = exact_knn(cfg.metric, state.vlo[:ns], state.norms[:ns],
+                           allowed, q, remove_ef)
     return jnp.where(scan_ids[:, None] >= 0, ids, -1)
 
 
@@ -351,7 +359,8 @@ def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scan_j,
 
 def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
                       remove_ef: int, remove_buckets=None,
-                      exact_candidates: bool | None = None):
+                      exact_candidates: bool | None = None,
+                      scan_hwm: int | None = None):
     """Host-driven removal of ``arr`` (numpy int32 ids) from a GraphState.
 
     The engine core of HNSWIndex.remove, reusable for per-shard removal in
@@ -373,6 +382,15 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
         return state
     if exact_candidates is None:
         exact_candidates = not dst.is_custom(cfg.metric)
+    # candidate-scan prefix: smallest power of 2 covering the built slots
+    # (keeps the fused-scan 8192-row alignment; one bucket per doubling
+    # bounds recompiles exactly like construction's nscan ladder)
+    ns = state.capacity
+    if scan_hwm is not None:
+        p = 8192
+        while p < scan_hwm:
+            p <<= 1
+        ns = min(p, state.capacity)
     if remove_buckets is None:
         # The whole removal set in ONE wave wherever memory allows: each
         # wave re-repairs every row it affects, so splitting a big delete
@@ -424,7 +442,7 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
             if exact_candidates:
                 scand = exact_repair_candidates(
                     cfg, state, scan_j, jnp.asarray(l, jnp.int32),
-                    remove_ef)
+                    remove_ef, ns)
             else:
                 scand = repair_candidates(cfg, state, scan_j, rem_j, l,
                                           remove_ef, max_iters)

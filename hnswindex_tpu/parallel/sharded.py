@@ -538,7 +538,8 @@ class ShardedIndex:
                 continue
             local = remove_from_state(
                 self._cfg, self._local(int(s)), mine,
-                self.params.remove_max_candidates)
+                self.params.remove_max_candidates,
+                scan_hwm=int(self._lengths[int(s)]))
             self._set_local(int(s), local)
             self._free[int(s)].extend(int(x) for x in mine)
             self._counts[int(s)] -= mine.size

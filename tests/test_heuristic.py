@@ -92,3 +92,50 @@ def test_prune_force_mask():
     assert int(cnt[0]) == 2
     assert int(cnt[1]) == 0
     assert np.all(np.asarray(sel[1]) == -1)
+
+
+def test_accept_impls_agree():
+    """The scan and unroll accept-loop implementations must compute the
+    identical sequential accept set on arbitrary conflict tensors."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hnswindex_tpu.core import heuristic as H
+
+    rng = np.random.default_rng(123)
+    for B, N, p in [(7, 37, 0.1), (16, 64, 0.3), (3, 100, 0.05),
+                    (5, 8, 0.5), (4, 3, 0.4)]:
+        conf = rng.random((B, N, N)) < p
+        tri = np.triu(np.ones((N, N), bool), k=1)
+        conf = jnp.asarray(conf & tri[None])
+        a = np.asarray(H._accept_scan(conf))
+        b = np.asarray(H._accept_unroll(conf))
+        assert np.array_equal(a, b), (B, N, p)
+
+
+def test_accept_unroll_full_pipeline():
+    """prune() under ACCEPT_MODE='unroll' returns the same selections as
+    the default scan mode."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from hnswindex_tpu.core import heuristic as H
+
+    rng = np.random.default_rng(7)
+    B, N, D = 6, 50, 16
+    vecs = rng.random((B, N, D)).astype(np.float32)
+    tgt = rng.random((B, D)).astype(np.float32)
+    d = ((vecs - tgt[:, None]) ** 2).sum(-1).astype(np.float32)
+    ids = rng.permutation(B * N).reshape(B, N).astype(np.int32)
+    norms = (vecs ** 2).sum(-1).astype(np.float32)
+    args = ("sq_euclid", jnp.asarray(ids), jnp.asarray(d),
+            jnp.asarray(vecs), jnp.asarray(norms), 8)
+    sel_a, cnt_a = H.prune(*args)
+    old = H.ACCEPT_MODE
+    try:
+        H.ACCEPT_MODE = "unroll"
+        sel_b, cnt_b = H.prune(*args)
+    finally:
+        H.ACCEPT_MODE = old
+    assert np.array_equal(np.asarray(sel_a), np.asarray(sel_b))
+    assert np.array_equal(np.asarray(cnt_a), np.asarray(cnt_b))

@@ -170,3 +170,25 @@ def test_update_in_place():
     by_id = dict(zip(sid.tolist(), range(len(sid))))
     for j in range(0, 40, 7):
         assert np.allclose(stored[by_id[int(ids[j])]], new_vals[j])
+
+
+def test_removal_prefix_bounded_scan_in_big_capacity():
+    """Repair candidates must cover every live node when the corpus fills
+    only a small prefix of a large preallocated capacity (the scan-prefix
+    bound: ns = next-pow2(hwm) < capacity must not drop candidates)."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+    rng = np.random.default_rng(5)
+    n, dim = 1500, 24
+    vecs = rng.random((n, dim), dtype=np.float32)
+    # capacity 16384 > the 8192 prefix-ladder floor, hwm = 1500 -> the
+    # repair scan runs on the 8192-row prefix, not the full table
+    ix = HNSWIndex(dim, parameters=HNSWParameters(collection_size=16000))
+    ids = ix.add(vecs)
+    pre = float((ix.knn_query(vecs[n // 2:], 1)[0][:, 0]
+                 == ids[n // 2:]).mean())
+    ix.remove(ids[: n // 2])
+    post_ids = ix.knn_query(vecs[n // 2:], 1)[0][:, 0]
+    post = float((post_ids == ids[n // 2:]).mean())
+    assert post >= pre - 0.05, (pre, post)
+    assert not np.isin(post_ids, ids[: n // 2]).any()
