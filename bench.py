@@ -27,6 +27,7 @@ auditable.  The baseline divisor is the driver-set north star
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -34,6 +35,18 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _watchdog(budget_s: float):
+    """Hard exit if the run wedges (a hung device tunnel would otherwise
+    block the harness forever; an error exit is recordable, a hang is
+    not).  Normal runs finish far inside the budget."""
+    def arm():
+        time.sleep(budget_s)
+        log(f"bench watchdog: no result after {budget_s:.0f}s — aborting")
+        os._exit(3)
+    t = threading.Thread(target=arm, daemon=True)
+    t.start()
 
 
 def main():
@@ -220,4 +233,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _watchdog(float(os.environ.get("BENCH_BUDGET_S", "3000")))
     main()
