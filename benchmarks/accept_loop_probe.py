@@ -1,163 +1,81 @@
-"""TPU probe: accept-loop variants on a pre-built conflict tensor."""
+"""TPU probe: accept-loop implementations at the real call-site shapes.
+
+Times heuristic._accept_scan vs _accept_unroll on synthetic conflict
+tensors at the three production shapes:
+  (512, 100)  forward prune, W=512 wave, efC=100 candidates
+  (16384, 40) reverse-edge overflow prune, W*2M rows, K+A candidates
+  (1024, 80)  removal repair fast tier (chunked), K+SPAN_1 candidates
+plus the full prune() under each mode at the forward-prune shape.
+
+Usage: PYTHONPATH=/root/repo python benchmarks/accept_loop_probe.py
+"""
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
+
+from hnswindex_tpu.core import heuristic as H
 
 T_START = time.time()
-BUDGET_S = float(__import__("os").environ.get("PROBE_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("PROBE_BUDGET_S", "420"))
+R = int(os.environ.get("PR", "20"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
 
 
 def out_of_time():
     if time.time() - T_START > BUDGET_S:
-        print("BUDGET EXHAUSTED — exiting cleanly", file=sys.stderr,
-              flush=True)
+        log("BUDGET EXHAUSTED — exiting cleanly")
         return True
     return False
 
-B, N = 16384, 40
-U = 8
-G = -(-N // U)
-Np = G * U
-R = 10
 
-key = jax.random.PRNGKey(0)
-conf = jax.random.uniform(key, (B, N, N)) < 0.1
-tri = (jnp.arange(N)[:, None] < jnp.arange(N)[None, :])
-conf = conf & tri[None]
-confT = jax.jit(lambda c: jnp.moveaxis(c, 0, 2))(conf)    # (s, j, B)
-np.asarray(jnp.sum(conf) + jnp.sum(confT))
-print("setup done", file=sys.stderr, flush=True)
-
-
-def bench(name, fn, *args):
+def bench(name, fn, *args, reps=R):
     if out_of_time():
         sys.exit(0)
     f = jax.jit(fn)
-    np.asarray(f(*args))
+    o = f(*args)
+    np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
     t0 = time.perf_counter()
-    for _ in range(R):
+    for _ in range(reps):
         o = f(*args)
-    np.asarray(o)
-    print(f"{name}: {(time.perf_counter() - t0) / R * 1000:.1f} ms",
-          file=sys.stderr, flush=True)
+    np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[:1])
+    dt = (time.perf_counter() - t0) / reps * 1000
+    log(f"  {name}: {dt:.2f} ms")
+    return dt
 
 
-def v_scan4(conflict):
-    """current committed version (U=4 lax.scan, dynamic slices)"""
-    Uv, Gv = 4, -(-N // 4)
-    Npv = Gv * Uv
-    cols = jnp.moveaxis(conflict, 2, 0)
-    cols = jnp.pad(cols, ((0, Npv - N), (0, 0), (0, 0)))
-    cols_g = cols.reshape(Gv, Uv, B, N)
-    jbase = jnp.arange(Gv, dtype=jnp.int32) * Uv
+log("devices:", jax.devices())
+rng = np.random.default_rng(0)
 
-    def step(acc, xs):
-        jb, cg = xs
-        hit = jnp.any(cg & acc[None, :, :N], axis=2)
+for B, N, p in [(512, 100, 0.15), (16384, 40, 0.10), (1024, 80, 0.15)]:
+    conf = rng.random((B, N, N)) < p
+    tri = np.triu(np.ones((N, N), bool), k=1)
+    conf_j = jnp.asarray(conf & tri[None])
+    np.asarray(jnp.sum(conf_j))
+    log(f"shape (B={B}, N={N}):")
+    a = bench("scan  ", lambda c: jnp.sum(H._accept_scan(c)), conf_j)
+    b = bench("unroll", lambda c: jnp.sum(H._accept_unroll(c)), conf_j)
+    log(f"  -> unroll/scan = {b / a:.2f}x")
 
-        def intra(p, k):
-            return lax.dynamic_slice(cg[k], (0, jb + p), (B, 1))[:, 0]
-
-        a0 = ~hit[0]
-        a1 = ~(hit[1] | (a0 & intra(0, 1)))
-        a2 = ~(hit[2] | (a0 & intra(0, 2)) | (a1 & intra(1, 2)))
-        a3 = ~(hit[3] | (a0 & intra(0, 3)) | (a1 & intra(1, 3))
-               | (a2 & intra(2, 3)))
-        blk = jnp.stack([a0, a1, a2, a3], axis=1)
-        acc = lax.dynamic_update_slice(acc, blk, (0, jb))
-        return acc, None
-
-    acc0 = jnp.zeros((B, Npv), bool)
-    accepted, _ = lax.scan(step, acc0, (jbase, cols_g))
-    return jnp.sum(accepted[:, :N])
-
-
-def v_unroll_T(cT):
-    """full unroll, B-minor layout, given pre-transposed tensor"""
-    confp = jnp.pad(cT, ((0, Np - N), (0, Np - N), (0, 0)))
-    blks = []
-    for g in range(G):
-        j0 = g * U
-        if g:
-            prev = blks[0] if g == 1 else jnp.concatenate(blks, axis=0)
-            cslab = confp[:j0, j0:j0 + U]
-            hit = jnp.any(cslab & prev[:, None, :], axis=0)
-        else:
-            hit = jnp.zeros((U, B), bool)
-        it = confp[j0:j0 + U, j0:j0 + U]
-        a = [~hit[0]]
-        for k in range(1, U):
-            h = hit[k]
-            for p in range(k):
-                h = h | (a[p] & it[p, k])
-            a.append(~h)
-        blks.append(jnp.stack(a, axis=0))
-    return jnp.sum(jnp.concatenate(blks, axis=0)[:N])
-
-
-def v_transpose(conflict):
-    return jnp.sum(jnp.moveaxis(conflict, 0, 2) & True)
-
-
-def v_hacc(conflict):
-    """running hit accumulator, (B, *, N) layout, full unroll"""
-    confp = jnp.pad(conflict, ((0, 0), (0, Np - N), (0, Np - N)))
-    hacc = jnp.zeros((B, Np), bool)
-    blks = []
-    for g in range(G):
-        j0 = g * U
-        hit = hacc[:, j0:j0 + U]
-        it = confp[:, j0:j0 + U, j0:j0 + U]
-        a = [~hit[:, 0]]
-        for k in range(1, U):
-            h = hit[:, k]
-            for p in range(k):
-                h = h | (a[p] & it[:, p, k])
-            a.append(~h)
-        ag = jnp.stack(a, axis=1)                            # (B, U)
-        if g + 1 < G:
-            slab = confp[:, j0:j0 + U, :]                    # (B, U, Np)
-            hacc = hacc | jnp.any(slab & ag[:, :, None], axis=1)
-        blks.append(ag)
-    return jnp.sum(jnp.concatenate(blks, axis=1)[:, :N])
-
-
-def v_scan8_pre(conflict):
-    """U=8 lax.scan with pre-gathered intra tiles (no dynamic slices)"""
-    confp = jnp.pad(conflict, ((0, 0), (0, Np - N), (0, Np - N)))
-    cols = jnp.moveaxis(confp[:, :N, :], 2, 0)               # (Np, B, N)
-    cols_g = cols.reshape(G, U, B, N)
-    gi = jnp.arange(G)
-    intra = confp.reshape(B, G, U, G, U)[:, gi, :, gi, :]    # (G, B, U, U)
-
-    def step(carry, xs):
-        acc = carry                                          # (B, N) decided
-        cg, it = xs
-        hit = jnp.any(cg & acc[None], axis=2)                # (U, B)
-        a = [~hit[0]]
-        for k in range(1, U):
-            h = hit[k]
-            for p in range(k):
-                h = h | (a[p] & it[:, p, k])
-            a.append(~h)
-        blk = jnp.stack(a, axis=1)                           # (B, U)
-        g = jnp.sum(jnp.zeros((), jnp.int32))                # unused
-        return acc, blk
-
-    # NOTE: this variant is WRONG as a loop (acc never updates) — it only
-    # measures the per-step op cost floor with U=8 batching.
-    acc0 = jnp.zeros((B, N), bool)
-    _, blks = lax.scan(step, acc0, (cols_g, intra))
-    return jnp.sum(blks)
-
-
-bench("scan U=4 (current)", v_scan4, conf)
-bench("transpose to (s,j,B)", v_transpose, conf)
-bench("unroll B-minor (pre-T)", v_unroll_T, confT)
-bench("hacc unroll (B-major)", v_hacc, conf)
-bench("scan U=8 floor (no carry)", v_scan8_pre, conf)
-print("DONE", file=sys.stderr)
+# full prune() at the forward shape under each mode
+B, N, D = 512, 100, 128
+vecs = rng.random((B, N, D)).astype(np.float32)
+d = rng.random((B, N)).astype(np.float32)
+ids = rng.integers(0, 1 << 20, (B, N)).astype(np.int32)
+norms = (vecs ** 2).sum(-1).astype(np.float32)
+args = (jnp.asarray(ids), jnp.asarray(d), jnp.asarray(vecs),
+        jnp.asarray(norms))
+for mode in ("scan", "unroll"):
+    H.ACCEPT_MODE = mode
+    bench(f"prune() (512,100)->32 [{mode}]",
+          lambda i, dd, v, nn: H.prune("sq_euclid", i, dd, v, nn, 32),
+          *args, reps=max(4, R // 2))
+log("DONE")
