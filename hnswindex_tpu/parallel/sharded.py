@@ -111,6 +111,7 @@ class ShardedIndex:
         self._seeded = np.zeros(self.n_shards, dtype=bool)
         self._fns = {}                  # compiled SPMD program cache
         self._host_vectors: Optional[np.ndarray] = None
+        self._pack = None               # stacked per-shard QueryPack
 
     # ------------------------------------------------------------------
     # internals
@@ -124,6 +125,7 @@ class ShardedIndex:
 
     def _invalidate_caches(self):
         self._host_vectors = None
+        self._pack = None
 
     def _host_vecs(self) -> np.ndarray:
         """(S, C, D) host mirror of stored vectors for f64 refinement."""
@@ -309,6 +311,104 @@ class ShardedIndex:
         return self._cached(
             ("query", ef, max_iters, filtered, expand, layer), build)
 
+    def _get_pack(self):
+        """Lazily build the per-shard packed-neighborhood tables (stacked
+        core/pack.QueryPack, one per shard, built in one SPMD program).
+        Same gating as HNSWIndex._get_pack, applied per shard: the pack
+        budget (params.pack_max_bytes) is a per-device HBM budget, so a
+        corpus that cannot pack on one chip serves packed from however
+        many shards make each piece fit.  None means 'serve unpacked'."""
+        mode = self.params.pack_queries
+        if mode == "off" or dst.is_custom(self.metric):
+            return None
+        if mode == "auto" and self.count < self.params.pack_min_count:
+            return None
+        if self._pack is not None:
+            return self._pack
+        from ..core import pack as PK
+        S = self.n_shards
+        C = self.shard_capacity
+        K = self._state.nbr0.shape[2]
+        if PK.pack_bytes(C, K, self.dim) > self.params.pack_max_bytes:
+            return None
+        # per-shard entry set: smallest upper level whose population fits
+        # the flat MXU entry scan (HNSWIndex._get_pack semantics).  level
+        # and active mirrors are ~5 bytes/row — read once per mutation
+        # epoch, far below the pack build's own cost.
+        lvl = np.asarray(self._state.level)
+        act = np.asarray(self._state.active)
+        ents = []
+        for s in range(S):
+            eids = None
+            for layer in range(1, int(self._cfg.max_levels)):
+                members = np.flatnonzero((lvl[s] >= layer) & act[s])
+                if members.size <= PK.ENTRY_SCAN_MAX:
+                    eids = members
+                    break
+            if eids is None or eids.size == 0:
+                # all of this shard lives at level 0 (tiny shard): any
+                # live node seeds the beam; an empty shard stays empty
+                eids = np.flatnonzero(act[s])[:1]
+            ents.append(eids)
+        E = max(1, max(e.size for e in ents))
+        E = 1 << max(0, int(E - 1).bit_length())
+        table = np.full((S, E), -1, np.int64)
+        for s, e in enumerate(ents):
+            table[s, :e.size] = e
+        self._pack = self._pack_build_fn()(
+            self._state, jnp.asarray(table, jnp.int32))
+        return self._pack
+
+    def _pack_build_fn(self):
+        cfg = self._cfg
+        from ..core import pack as PK
+
+        def build():
+            def run(st, ents):
+                local = _squeeze(st)
+                return _expand(PK.make_query_pack(cfg, local, ents[0]))
+
+            specs = (self._state_specs(), P("shard"))
+            out_specs = PK.QueryPack(
+                *(P("shard") for _ in PK.QueryPack._fields))
+            return jax.jit(_shard_map(run, self.mesh, specs, out_specs))
+        return self._cached(("packbuild",), build)
+
+    def _pack_query_fn(self, ef: int, max_iters: int, filtered: bool,
+                       expand: int, n_entry: int):
+        cfg = self._cfg
+        C = self.shard_capacity
+        from ..core import pack as PK
+
+        def build():
+            def run(pk, q, fm):
+                d, i = PK.packed_knn_search(
+                    cfg, _squeeze(pk), q, ef, max_iters, filtered=filtered,
+                    filter_mask=fm[0] if filtered else None,
+                    expand=expand, n_entry=n_entry)
+                base = lax.axis_index("shard").astype(jnp.int32) * C
+                gi = jnp.where(i >= 0, i + base, -1)
+                return d[None], gi[None]
+
+            pk_specs = PK.QueryPack(
+                *(P("shard") for _ in PK.QueryPack._fields))
+            specs = (pk_specs, P(), P("shard"))
+            shmapped = _shard_map(run, self.mesh, specs,
+                                  (P("shard"), P("shard")))
+
+            @jax.jit
+            def query(pk, q, fm):
+                d, gi = shmapped(pk, q, fm)          # (S, B, ef) each
+                B = q.shape[0]
+                dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
+                ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
+                sd, si = lax.sort((dd, ii), num_keys=1)  # ICI merge
+                return sd[:, :ef], si[:, :ef]
+
+            return query
+        return self._cached(
+            ("pquery", ef, max_iters, filtered, expand, n_entry), build)
+
     def _exact_query_fn(self, k: int, filtered: bool):
         cfg = self._cfg
         C = self.shard_capacity
@@ -376,11 +476,17 @@ class ShardedIndex:
                       self._fm_or_dummy(fmask))
         else:
             ef = max(self.params.min_nn, k)
-            max_iters = (self._cfg.search_iter_factor * ef) \
-                // max(1, self.params.query_expand) + 16
-            fn = self._query_fn(ef, max_iters, filtered, int(layer))
-            d, i = fn(self._state, jnp.asarray(q),
-                      self._fm_or_dummy(fmask))
+            expand = max(1, self.params.query_expand)
+            max_iters = (self._cfg.search_iter_factor * ef) // expand + 16
+            pk = self._get_pack() if layer == 0 else None
+            if pk is not None:
+                fn = self._pack_query_fn(ef, max_iters, filtered, expand,
+                                         min(8, ef))
+                d, i = fn(pk, jnp.asarray(q), self._fm_or_dummy(fmask))
+            else:
+                fn = self._query_fn(ef, max_iters, filtered, int(layer))
+                d, i = fn(self._state, jnp.asarray(q),
+                          self._fm_or_dummy(fmask))
         return self._refine_global(q, np.asarray(i), k)
 
     def _range_fn(self, pool: int, max_iters: int, filtered: bool,

@@ -253,3 +253,45 @@ def test_sharded_f64_refined_distances():
                 continue
             ref = float(((q[r] - hv[g // C, g % C]) ** 2).sum())
             assert abs(ref - dists[r, c]) < 1e-4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_packed_serving():
+    """pack_queries='on' routes layer-0 graph queries through the packed
+    per-shard engine (stacked QueryPack under shard_map); results must
+    match the reference contract (self-recall, filters, invalidation on
+    mutation) and agree with the unpacked beam at equal ef."""
+    devices = jax.devices()[:4]
+    rng = np.random.default_rng(11)
+    vecs = rng.random((400, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=512, max_wave_size=128,
+                       pack_queries="on")
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+
+    ids, dists = idx.knn_query(vecs, k=1)
+    assert idx._pack is not None, "packed path not engaged"
+    assert (ids[:, 0] == gids).mean() > 0.85
+    assert np.nanmin(dists) >= 0.0
+
+    # unpacked agreement at equal ef
+    p2 = HNSWParameters(collection_size=512, max_wave_size=128,
+                        pack_queries="off", random_seed=p.random_seed)
+    idx2 = ShardedIndex(DIM, parameters=p2, devices=devices)
+    idx2.add(vecs)
+    ids2, _ = idx2.knn_query(vecs, k=1)
+    agree = (ids[:, 0] == ids2[:, 0]).mean()
+    assert agree > 0.9, agree
+
+    # filtered packed query: only allowed ids may return
+    allow = gids[::2]
+    fi, _ = idx.knn_query(vecs[:64], k=3, filter_fnc=allow)
+    assert np.isin(fi[fi >= 0], allow).all()
+
+    # mutation invalidates the pack, queries still correct afterwards
+    idx.remove(gids[:50])
+    assert idx._pack is None
+    ri, _ = idx.knn_query(vecs[50:], k=1)
+    assert idx._pack is not None
+    assert (ri[:, 0] == gids[50:]).mean() > 0.85
+    assert not np.isin(ri[:, 0], gids[:50]).any()
