@@ -173,7 +173,10 @@ def packed_knn_search(cfg: GraphConfig, pack: QueryPack,
     C, K = pack.nbr0.shape
     D = pack.res.shape[2]
     P = min(expand, ef)
-    R = min(n_entry, ef)
+    # the entry table may hold fewer columns than requested seeds (tiny
+    # upper hierarchies pad to small widths) — _entry_scan returns
+    # min(n_entry, table width) columns
+    R = min(n_entry, ef, pack.entry_ids.shape[0])
     rows = jnp.arange(B)
     sq = cfg.metric == "sq_euclid"
 
