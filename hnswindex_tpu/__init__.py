@@ -22,9 +22,11 @@ from .params import HNSWParameters
 from .core.stats import HNSWInfo, LayerInfo
 from .results import KNNResult
 from .block import BlockIndex
+from .parallel.block_sharded import ShardedBlockIndex
 from .ops.distance import register_metric
 
 __version__ = "0.1.0"
 
 __all__ = ["Index", "HNSWIndex", "HNSWParameters", "HNSWInfo", "LayerInfo",
-           "KNNResult", "BlockIndex", "register_metric", "__version__"]
+           "KNNResult", "BlockIndex", "ShardedBlockIndex",
+           "register_metric", "__version__"]

@@ -101,6 +101,36 @@ def _kmeans(vecs: np.ndarray, n_clusters: int, iters: int,
     return np.asarray(labels)
 
 
+def _layout_blocks(vecs: np.ndarray, BS: int, kmeans_iters: int,
+                   rng: np.random.Generator):
+    """Cluster + chunk the corpus into contiguous blocks of <= BS members.
+
+    Returns ``(blk_ids (NB, BS) i32 -1-padded, blk_vecs (NB, BS, D) f32)``
+    — the shared layout step of BlockIndex and ShardedBlockIndex.
+    Targets ~75% average block fill so cluster-size jitter rarely splits
+    blocks."""
+    N, D = vecs.shape
+    n_clusters = max(1, int(np.ceil(N / (0.75 * BS))))
+    labels = _kmeans(vecs, n_clusters, kmeans_iters, rng) \
+        if n_clusters > 1 else np.zeros(N, np.int32)
+
+    order = np.argsort(labels, kind="stable")
+    blocks = []
+    sorted_labels = labels[order]
+    boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
+    for seg in np.split(order, boundaries):
+        for s in range(0, seg.size, BS):
+            blocks.append(seg[s:s + BS])
+    NB = len(blocks)
+
+    blk_ids = np.full((NB, BS), -1, np.int32)
+    blk_vecs = np.zeros((NB, BS, D), np.float32)
+    for b, members in enumerate(blocks):
+        blk_ids[b, :members.size] = members
+        blk_vecs[b, :members.size] = vecs[members]
+    return blk_ids, blk_vecs
+
+
 class BlockIndex:
     """Two-level block-scored index (see module docstring)."""
 
@@ -135,28 +165,8 @@ class BlockIndex:
                 else None)
         rng = np.random.default_rng(seed)
 
-        # target ~75% average block fill so cluster-size jitter rarely
-        # splits blocks
-        n_clusters = max(1, int(np.ceil(N / (0.75 * BS))))
-        labels = _kmeans(vecs, n_clusters, self.kmeans_iters, rng) \
-            if n_clusters > 1 else np.zeros(N, np.int32)
-
-        # chunk each cluster's members into blocks of <= BS
-        order = np.argsort(labels, kind="stable")
-        blocks = []
-        start = 0
-        sorted_labels = labels[order]
-        boundaries = np.flatnonzero(np.diff(sorted_labels)) + 1
-        for seg in np.split(order, boundaries):
-            for s in range(0, seg.size, BS):
-                blocks.append(seg[s:s + BS])
-        NB = len(blocks)
-
-        blk_ids = np.full((NB, BS), -1, np.int32)
-        blk_vecs = np.zeros((NB, BS, self.dim), np.float32)
-        for b, members in enumerate(blocks):
-            blk_ids[b, :members.size] = members
-            blk_vecs[b, :members.size] = vecs[members]
+        blk_ids, blk_vecs = _layout_blocks(vecs, BS, self.kmeans_iters, rng)
+        NB = blk_ids.shape[0]
         fill = (blk_ids >= 0)
         id_to_pos = np.zeros(N, np.int64)
         flat_ids = blk_ids.reshape(-1)

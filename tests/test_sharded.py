@@ -295,3 +295,50 @@ def test_sharded_packed_serving():
     assert idx._pack is not None
     assert (ri[:, 0] == gids[50:]).mean() > 0.85
     assert not np.isin(ri[:, 0], gids[:50]).any()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_block_index():
+    """ShardedBlockIndex: identical routing to the single-chip BlockIndex
+    (replicated centroids + global top-n_probe), per-shard exact scoring,
+    global merge.  Results must match BlockIndex bit-for-bit at equal
+    parameters, clear the recall bar, and round-trip persistence."""
+    from hnswindex_tpu import BlockIndex, ShardedBlockIndex
+
+    devices = jax.devices()[:4]
+    rng = np.random.default_rng(97)
+    # clustered data: blocks are the serving mode for clustered corpora
+    centers = rng.random((8, DIM)).astype(np.float32)
+    vecs = (centers[rng.integers(0, 8, 800)]
+            + 0.05 * rng.standard_normal((800, DIM)).astype(np.float32))
+    q = vecs[:128]
+
+    sb = ShardedBlockIndex(DIM, block_size=32, devices=devices)
+    sb.build(vecs)
+    ids, dists = sb.knn_query(q, k=5, n_probe=8)
+    assert ids.shape == (128, 5)
+    self_recall = float((ids[:, 0] == np.arange(128)).mean())
+    assert self_recall > 0.95, self_recall
+    assert np.nanmin(dists) >= 0.0
+
+    # parity vs the single-chip BlockIndex at equal layout parameters
+    bi = BlockIndex(DIM, block_size=32)
+    bi.build(vecs)
+    ids1, d1 = bi.knn_query(q, k=5, n_probe=8)
+    agree = float((ids1 == ids).mean())
+    assert agree > 0.99, agree
+
+    # brute-force oracle recall at generous n_probe
+    ids2, _ = sb.knn_query(q, k=10, n_probe=32)
+    d2 = ((q[:, None, :] - vecs[None]) ** 2).sum(-1)
+    oracle = np.argsort(d2, axis=1)[:, :10]
+    rec = np.mean([len(set(a) & set(b)) / 10.0
+                   for a, b in zip(ids2, oracle)])
+    assert rec > 0.9, rec
+
+    # persistence round-trip: identical results
+    sb.serialize("/tmp/sb_test.npz")
+    sb2 = ShardedBlockIndex.deserialize("/tmp/sb_test.npz",
+                                        devices=devices)
+    ids3, d3 = sb2.knn_query(q, k=5, n_probe=8)
+    assert np.array_equal(ids3, ids)
