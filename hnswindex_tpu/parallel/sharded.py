@@ -409,7 +409,7 @@ class ShardedIndex:
         return self._cached(
             ("pquery", ef, max_iters, filtered, expand, n_entry), build)
 
-    def _exact_query_fn(self, k: int, filtered: bool):
+    def _exact_query_fn(self, k: int, filtered: bool, nscan: int):
         cfg = self._cfg
         C = self.shard_capacity
         from ..ops.bruteforce import exact_knn
@@ -417,17 +417,21 @@ class ShardedIndex:
         def build():
             def run(st, q, layer, fm):
                 local = _squeeze(st)
-                allowed = local.active & (local.level >= layer[0])
+                # scan only the slot prefix any shard has filled (nscan =
+                # bucketed max high-water mark): survivor positions are
+                # local slots either way, and half-full shards skip half
+                # the matmul
+                allowed = (local.active & (local.level >= layer[0]))[:nscan]
                 if filtered:
-                    allowed = allowed & fm[0]
+                    allowed = allowed & fm[0][:nscan]
                 ct = local.coarse_table
                 if ct is not None:
                     from ..ops.bruteforce import exact_knn2
-                    d, i = exact_knn2(cfg.metric, local.vectors, ct,
-                                      local.norms, allowed, q, k)
+                    d, i = exact_knn2(cfg.metric, local.vectors, ct[:nscan],
+                                      local.norms[:nscan], allowed, q, k)
                 else:
-                    d, i = exact_knn(cfg.metric, local.vlo, local.norms,
-                                     allowed, q, k)
+                    d, i = exact_knn(cfg.metric, local.vlo[:nscan],
+                                     local.norms[:nscan], allowed, q, k)
                 base = lax.axis_index("shard").astype(jnp.int32) * C
                 gi = jnp.where(i >= 0, i + base, -1)
                 return d[None], gi[None]
@@ -447,7 +451,17 @@ class ShardedIndex:
                         jnp.take_along_axis(ii, order, axis=1))
 
             return query
-        return self._cached(("exact", k, filtered), build)
+        return self._cached(("exact", k, filtered, nscan), build)
+
+    def _exact_nscan(self) -> int:
+        """Power-of-2 scan prefix covering every shard's filled slots
+        (8192 floor keeps the fused lane-min scan's alignment)."""
+        C = self.shard_capacity
+        hwm = int(self._lengths.max()) if self._lengths.size else 0
+        p = 8192
+        while p < hwm:
+            p <<= 1
+        return min(p, C)
 
     def _fm_or_dummy(self, fmask):
         if fmask is not None:
@@ -471,7 +485,7 @@ class ShardedIndex:
         filtered = fmask is not None
         if exact:
             layer_j = jnp.full((self.n_shards,), layer, jnp.int32)
-            fn = self._exact_query_fn(k, filtered)
+            fn = self._exact_query_fn(k, filtered, self._exact_nscan())
             d, i = fn(self._state, jnp.asarray(q), layer_j,
                       self._fm_or_dummy(fmask))
         else:
