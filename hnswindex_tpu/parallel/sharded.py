@@ -304,7 +304,10 @@ class ShardedIndex:
                 B = q.shape[0]
                 dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
                 ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
-                sd, si = lax.sort((dd, ii), num_keys=1)  # ICI merge
+                order = jnp.argsort(dd, axis=1)  # argsort+take: multi-
+                # operand lax.sort is ~30x slower on TPU
+                sd = jnp.take_along_axis(dd, order, axis=1)
+                si = jnp.take_along_axis(ii, order, axis=1)
                 return sd[:, :ef], si[:, :ef]
 
             return query
@@ -402,7 +405,10 @@ class ShardedIndex:
                 B = q.shape[0]
                 dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
                 ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
-                sd, si = lax.sort((dd, ii), num_keys=1)  # ICI merge
+                order = jnp.argsort(dd, axis=1)  # argsort+take: multi-
+                # operand lax.sort is ~30x slower on TPU
+                sd = jnp.take_along_axis(dd, order, axis=1)
+                si = jnp.take_along_axis(ii, order, axis=1)
                 return sd[:, :ef], si[:, :ef]
 
             return query
