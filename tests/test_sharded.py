@@ -342,3 +342,44 @@ def test_sharded_block_index():
                                         devices=devices)
     ids3, d3 = sb2.knn_query(q, k=5, n_probe=8)
     assert np.array_equal(ids3, ids)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_block_index_edges():
+    """Edge cases: corpus smaller than the shard count in blocks, k >
+    count padding, non-default metric, input validation."""
+    from hnswindex_tpu import ShardedBlockIndex
+
+    devices = jax.devices()[:4]
+    rng = np.random.default_rng(3)
+    vecs = rng.random((10, DIM), dtype=np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    sb = ShardedBlockIndex(DIM, metric="ucosine", block_size=4,
+                           devices=devices)
+    with pytest.raises(RuntimeError):
+        sb.knn_query(vecs, k=1)
+    sb.build(vecs)
+    ids, d = sb.knn_query(vecs, k=3, n_probe=100)   # n_probe > n_blocks
+    assert (ids[:, 0] == np.arange(10)).all()
+    ids2, d2 = sb.knn_query(vecs[:2], k=20, n_probe=4)  # k > count
+    assert (ids2 == -1).any() and np.isnan(d2).any()
+    with pytest.raises(ValueError):
+        sb.build(np.zeros((4, DIM + 1), np.float32))
+    with pytest.raises(ValueError):
+        ShardedBlockIndex(DIM, metric="nope")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_pack_auto_gating():
+    """pack_queries='auto' (default) must stay unpacked below
+    pack_min_count and never break queries."""
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(8)
+    vecs = rng.random((150, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=256, max_wave_size=64)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+    ids, _ = idx.knn_query(vecs, k=1)
+    assert idx._pack is None          # auto gating: corpus too small
+    assert (ids[:, 0] == gids).mean() > 0.85
