@@ -116,8 +116,10 @@ class ShardedBlockIndex:
             bn = np.zeros_like(ssq)
         bn = np.where(blk_ids >= 0, bn, 0.0).astype(np.float32)
         self._blk_norms = jax.device_put(jnp.asarray(bn[deal]), shspec)
-        # replicated router tables
-        self._cents = jnp.asarray(cents.astype(np.float32))
+        # replicated router tables — REAL blocks only: a padding block's
+        # zero centroid can otherwise win a probe slot (its distance is
+        # mid-range for the cosine family), wasting one of n_probe probes
+        self._cents = jnp.asarray(cents[:NB].astype(np.float32))
         self._cent_norms = dst.norm_data(self.metric, self._cents)
         self.n_blocks = NB
         self.count = N
@@ -167,8 +169,8 @@ class ShardedBlockIndex:
         S = self.n_shards
 
         def build():
-            def run(bv, bi, bn, bf, q, gbids):
-                bv, bi, bn, bf = (x[0] for x in (bv, bi, bn, bf))
+            def run(bv, bi, bn, q, gbids):
+                bv, bi, bn = (x[0] for x in (bv, bi, bn))
                 gb = gbids                                  # (B, P) global
                 sidx = lax.axis_index("shard").astype(jnp.int32)
                 mine = (gb >= 0) & (gb % S == sidx)
@@ -176,15 +178,14 @@ class ShardedBlockIndex:
                 d, ids = _score_blocks(metric, bv, bi, bn, q, local, k)
                 return d[None], ids[None]
 
-            specs = (P("shard"), P("shard"), P("shard"), P("shard"),
-                     P(), P())
+            specs = (P("shard"), P("shard"), P("shard"), P(), P())
             shmapped = _shard_map(run, self.mesh, specs,
                                   (P("shard"), P("shard")))
 
             @jax.jit
-            def query(bv, bi, bn, bf, cents, cnorms, q):
+            def query(bv, bi, bn, cents, cnorms, q):
                 gbids = _route_exact(metric, cents, cnorms, q, n_probe)
-                d, gi = shmapped(bv, bi, bn, bf, q, gbids)
+                d, gi = shmapped(bv, bi, bn, q, gbids)
                 B = q.shape[0]
                 dd = jnp.swapaxes(d, 0, 1).reshape(B, -1)
                 ii = jnp.swapaxes(gi, 0, 1).reshape(B, -1)
@@ -212,8 +213,7 @@ class ShardedBlockIndex:
         n_probe = min(n_probe, self.n_blocks)
         fn = self._query_fn(k, n_probe)
         d, i = fn(self._blk_vecs, self._blk_ids, self._blk_norms,
-                  self._blk_fill, self._cents, self._cent_norms,
-                  jnp.asarray(q))
+                  self._cents, self._cent_norms, jnp.asarray(q))
         return self._refine(q, np.asarray(i), k)
 
     def _refine(self, q: np.ndarray, ids: np.ndarray, k: int):
