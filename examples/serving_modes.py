@@ -20,3 +20,8 @@ print("block:", bix.knn_query(vecs[:4], 5, n_probe=16)[0][0])
 
 # multi-chip (run under a mesh / multiple devices):
 # from hnswindex_tpu.parallel.sharded import ShardedIndex
+
+# multi-chip bulk block serving (replicated routing, per-shard scoring):
+# from hnswindex_tpu import ShardedBlockIndex
+# sbx = ShardedBlockIndex(128, devices=jax.devices())
+# sbx.build(vecs); sbx.knn_query(vecs[:4], 5, n_probe=16)
