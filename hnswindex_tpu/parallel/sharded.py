@@ -153,17 +153,14 @@ class ShardedIndex:
         return refine_pairs(self.metric, q, gids, cand, k)
 
     def _global_filter_mask(self, filter_fnc) -> Optional[jnp.ndarray]:
-        """(S, C) bool mask from global ids / callable / bool array."""
+        """(S, C) bool mask from global ids / bool array.  Callable
+        predicates never come through here — they are evaluated lazily on
+        candidates only (see _knn_query_callable; an O(N) sweep of the
+        corpus per query call would defeat the reference's visited-node
+        filtering contract, GraphNavigator.cs:235-239)."""
         if filter_fnc is None:
             return None
         S, C = self.n_shards, self.shard_capacity
-        if callable(filter_fnc):
-            active = np.asarray(self._state.active)
-            hv = self._host_vecs()
-            mask = np.zeros((S, C), dtype=bool)
-            for s, slot in zip(*np.nonzero(active)):
-                mask[s, slot] = bool(filter_fnc(hv[s, slot]))
-            return jnp.asarray(mask)
         arr = np.asarray(filter_fnc)
         if arr.dtype == bool and arr.shape == (S * C,):
             return jnp.asarray(arr.reshape(S, C))
@@ -487,6 +484,9 @@ class ShardedIndex:
         if self.count == 0 or k < 1:
             return (np.full((n, k), -1, np.int32),
                     np.full((n, k), np.nan, np.float32))
+        if callable(filter_fnc):
+            return self._knn_query_callable(q, k, filter_fnc, int(layer),
+                                            exact)
         fmask = self._global_filter_mask(filter_fnc)
         filtered = fmask is not None
         if exact:
@@ -508,6 +508,66 @@ class ShardedIndex:
                 d, i = fn(self._state, jnp.asarray(q),
                           self._fm_or_dummy(fmask))
         return self._refine_global(q, np.asarray(i), k)
+
+    def _knn_query_callable(self, q: np.ndarray, k: int, pred, layer: int,
+                            exact: bool) -> Tuple[np.ndarray, np.ndarray]:
+        """Callable-predicate filtering: search unfiltered with a widened
+        beam, evaluate the predicate only on returned candidates, widen
+        further for queries short of k passing results (the single-chip
+        HNSWIndex._knn_query_callable contract, ported to the mesh)."""
+        n = q.shape[0]
+        C = self.shard_capacity
+        out_ids = np.full((n, k), -1, np.int32)
+        out_d = np.full((n, k), np.nan, np.float32)
+        cache: dict = {}
+        hv = self._host_vecs()
+
+        def prefetch(ids_np):
+            for x in np.unique(ids_np[ids_np >= 0]).tolist():
+                if x not in cache:
+                    cache[x] = bool(pred(hv[x // C, x % C]))
+
+        pending = np.arange(n)
+        ef = max(self.params.min_nn, 2 * k, 16)
+        cap = 1 << max(4, int(max(self.count, 1) - 1).bit_length())
+        cap = min(4096, cap)
+        dummy = self._fm_or_dummy(None)
+        while pending.size:
+            sub = jnp.asarray(q[pending])
+            if exact:
+                eff = min(ef, max(self.count, 1))
+                layer_j = jnp.full((self.n_shards,), layer, jnp.int32)
+                fn = self._exact_query_fn(eff, False, self._exact_nscan())
+                _, gi = fn(self._state, sub, layer_j, dummy)
+            else:
+                expand = max(1, self.params.query_expand)
+                mi = (self._cfg.search_iter_factor * ef) // expand + 16
+                pk = self._get_pack() if layer == 0 else None
+                if pk is not None:
+                    fn = self._pack_query_fn(ef, mi, False, expand,
+                                             min(8, ef))
+                    _, gi = fn(pk, sub, dummy)
+                else:
+                    fn = self._query_fn(ef, mi, False, int(layer))
+                    _, gi = fn(self._state, sub, dummy)
+            ids = np.asarray(gi)
+            prefetch(ids)
+            still = []
+            for r, qi in enumerate(pending):
+                row = ids[r]
+                keep = [int(x) for x in row if x >= 0 and cache[int(x)]]
+                exhausted = ef >= cap or (row >= 0).sum() < ids.shape[1]
+                if len(keep) >= k or exhausted:
+                    got = np.full(k, -1, np.int32)
+                    got[: min(k, len(keep))] = keep[:k]
+                    rid, rd = self._refine_global(q[qi:qi + 1],
+                                                  got[None, :], k)
+                    out_ids[qi], out_d[qi] = rid[0], rd[0]
+                else:
+                    still.append(qi)
+            pending = np.asarray(still, dtype=np.int64)
+            ef = min(cap, ef * 4)
+        return out_ids, out_d
 
     def _range_fn(self, pool: int, max_iters: int, filtered: bool,
                   layer: int):
@@ -553,7 +613,11 @@ class ShardedIndex:
         if self.count == 0:
             return ([np.empty(0, np.int32) for _ in range(n)],
                     [np.empty(0, np.float32) for _ in range(n)])
-        fmask = self._global_filter_mask(filter_fnc)
+        # callable predicates are evaluated on the returned in-range
+        # candidates only (range results are not truncated to a top-k, so
+        # post-filtering is exact — HNSWIndex.range_query semantics)
+        pred = filter_fnc if callable(filter_fnc) else None
+        fmask = None if pred else self._global_filter_mask(filter_fnc)
         filtered = fmask is not None
         fm = self._fm_or_dummy(fmask)
         S = self.n_shards
@@ -577,6 +641,13 @@ class ShardedIndex:
             rid, rd = self._refine_global(q[r:r + 1], row[None, :],
                                           row.size)
             keep = (rid[0] >= 0) & (rd[0] <= radius)
+            if pred is not None:
+                hv = self._host_vecs()
+                C = self.shard_capacity
+                gc = np.clip(rid[0], 0, self.n_shards * C - 1)
+                ok = np.asarray([bool(pred(hv[g // C, g % C]))
+                                 for g in gc.tolist()])
+                keep = keep & ok
             ids_out.append(rid[0][keep])
             d_out.append(rd[0][keep])
         return ids_out, d_out

@@ -383,3 +383,38 @@ def test_sharded_pack_auto_gating():
     ids, _ = idx.knn_query(vecs, k=1)
     assert idx._pack is None          # auto gating: corpus too small
     assert (ids[:, 0] == gids).mean() > 0.85
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_callable_filter_lazy():
+    """Callable predicates evaluate lazily on candidates (no O(N) corpus
+    sweep) for both knn and range queries, with correct results."""
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(21)
+    vecs = rng.random((200, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=256, max_wave_size=64)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+
+    calls = []
+
+    def pred(v):
+        calls.append(1)
+        return v[0] > 0.5
+
+    ids, d = idx.knn_query(vecs[:16], k=3, filter_fnc=pred)
+    # every returned id passes the predicate
+    C = idx.shard_capacity
+    hv = idx._host_vecs()
+    for row in ids:
+        for g in row[row >= 0]:
+            assert hv[g // C, g % C][0] > 0.5
+    # lazily evaluated: far fewer predicate calls than corpus size per
+    # query batch (the eager mask would cost >= 200)
+    assert 0 < len(calls) < 200 * 16
+
+    rids, rds = idx.range_query(vecs[:4], radius=4.0, filter_fnc=pred)
+    for row, dd in zip(rids, rds):
+        for g, dist in zip(row, dd):
+            assert hv[g // C, g % C][0] > 0.5
+            assert dist <= 4.0
