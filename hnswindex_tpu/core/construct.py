@@ -59,9 +59,14 @@ def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
     P, NC = cand_ids.shape
     C = vectors.shape[0]
     # each lax.map chunk carries ~2-3 ms of fixed small-op latency
-    # (argsort, accept scan, compaction), so big batches take wider chunks
-    # — bounded so the (chunk, NC, D) gather stays ~128 MB
-    chunk = min(max(_PRUNE_CHUNK, P // 8), 8192, P)
+    # (argsort, accept scan, compaction) and the chunks run serially, so
+    # take the widest chunk whose transients stay bounded: the
+    # (chunk, NC, D) candidate-vector gather at ~128 MB (the (chunk, NC,
+    # NC) conflict tensors are smaller at any NC <= ~2*D)
+    D = vectors.shape[1]
+    row_bytes = NC * D * vectors.dtype.itemsize
+    chunk = min(P, 8192,
+                max(_PRUNE_CHUNK, (128 << 20) // max(1, row_bytes)))
     n_chunks = -(-P // chunk)
     pad = n_chunks * chunk - P
 
