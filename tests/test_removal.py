@@ -192,3 +192,78 @@ def test_removal_prefix_bounded_scan_in_big_capacity():
     post = float((post_ids == ids[n // 2:]).mean())
     assert post >= pre - 0.05, (pre, post)
     assert not np.isin(post_ids, ids[: n // 2]).any()
+
+
+def test_mixed_churn_invariants():
+    """Race-detection analog (SURVEY §5): a mixed add/remove/update/re-add
+    workload must preserve every structural invariant after each phase —
+    degree caps, -1 padding, neighbor-level consistency, no self-loops or
+    duplicate edges, count/free-list bookkeeping — and keep serving."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+    from hnswindex_tpu.core import graph as G
+
+    rng = np.random.default_rng(424242)
+    dim, M = 16, 8
+    ix = HNSWIndex(dim, parameters=HNSWParameters(
+        collection_size=256, max_edges=M))
+
+    def check(tag):
+        st = ix._state
+        nbr, deg = G.dense_tables(st)
+        lvl = np.asarray(st.level)
+        act = np.asarray(st.active)
+        L = nbr.shape[0]
+        for l in range(L):
+            cap = 2 * M if l == 0 else M
+            on = act & (lvl >= l)
+            assert deg[l][on].max(initial=0) <= cap, (tag, l)
+            for u in np.nonzero(on)[0][:40]:
+                row, d = nbr[l, u], deg[l, u]
+                assert np.all(row[d:] == -1), (tag, l, u)
+                assert np.all(row[:d] >= 0), (tag, l, u)
+                assert np.all(act[row[:d]]), (tag, l, u, "edge to dead")
+                assert np.all(lvl[row[:d]] >= l), (tag, l, u)
+                assert u not in row[:d], (tag, l, u)
+                assert len(set(row[:d].tolist())) == d, (tag, l, u)
+        assert ix.count == int(act.sum()), tag
+        # freed slots and active slots are disjoint
+        assert not any(act[s] for s in ix._free), tag
+
+    live = {}
+    vec_of = {}
+    base = rng.random((120, dim), dtype=np.float32)
+    ids = ix.add(base)
+    for i, g in enumerate(ids):
+        live[int(g)] = i
+        vec_of[int(g)] = base[i]
+    check("initial add")
+
+    for round_i in range(3):
+        # remove a random third
+        drop = rng.choice(sorted(live), size=len(live) // 3, replace=False)
+        ix.remove(drop)
+        for g in drop:
+            live.pop(int(g)); vec_of.pop(int(g))
+        check(f"round{round_i} remove")
+
+        # update a random half of survivors in place
+        upd = rng.choice(sorted(live), size=len(live) // 2, replace=False)
+        newv = rng.random((upd.size, dim), dtype=np.float32)
+        ix.update(upd, newv)
+        for g, v in zip(upd, newv):
+            vec_of[int(g)] = v
+        check(f"round{round_i} update")
+
+        # add fresh rows (reuses freed slots)
+        fresh = rng.random((30, dim), dtype=np.float32)
+        gnew = ix.add(fresh)
+        for i, g in enumerate(gnew):
+            assert int(g) not in live, "slot handed out twice"
+            live[int(g)] = -1; vec_of[int(g)] = fresh[i]
+        check(f"round{round_i} add")
+
+    # still serves: every live vector finds itself
+    gs = np.asarray(sorted(live), np.int32)
+    qs = np.stack([vec_of[int(g)] for g in gs])
+    rid, _ = ix.knn_query(qs, k=1)
+    assert (rid[:, 0] == gs).mean() > 0.9
