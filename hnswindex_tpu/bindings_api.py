@@ -57,6 +57,16 @@ class Index:
         self._impl = HNSWIndex(self.dim, self.metric, self._params)
         self._initialized = True
 
+    def _require_initialized(self) -> HNSWIndex:
+        # the reference documents these entry points as "assumes the
+        # native index has already been initialized" (bindings.py:461,
+        # :543) — surface that contract as a clean error instead of an
+        # AttributeError on the missing engine
+        if self._impl is None:
+            raise RuntimeError(
+                "index is not initialized; add items first")
+        return self._impl
+
     # -- setters (bindings.py:200-398) ----------------------------------
 
     def set_collection_size(self, init_size: int):
@@ -113,24 +123,24 @@ class Index:
     def remove(self, ids) -> None:
         arr = np.asarray(ids, dtype=np.int32).ravel()
         if arr.size == 0:
-            return
-        self._impl.remove(arr)
+            return           # empty input ignored even pre-init
+        self._require_initialized().remove(arr)
 
     def knn_query(self, queries, k: int, filter_fnc=None, layer: int = 0,
                   exact: bool = False) -> Tuple[np.ndarray, np.ndarray]:
-        return self._impl.knn_query(queries, k, filter_fnc=filter_fnc,
-                                    layer=layer, exact=exact)
+        return self._require_initialized().knn_query(
+            queries, k, filter_fnc=filter_fnc, layer=layer, exact=exact)
 
     def range_query(self, queries, radius: float, filter_fnc=None,
                     layer: int = 0
                     ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-        return self._impl.range_query(queries, radius,
-                                      filter_fnc=filter_fnc, layer=layer)
+        return self._require_initialized().range_query(
+            queries, radius, filter_fnc=filter_fnc, layer=layer)
 
     def multi_layer_knn_query(self, query, k: int, max_layer: int = 2 ** 30,
                               min_layer: int = 0):
-        return self._impl.multi_layer_knn_query(query, k, max_layer,
-                                                min_layer)
+        return self._require_initialized().multi_layer_knn_query(
+            query, k, max_layer, min_layer)
 
     # -- extended API (beyond the reference's C ABI) --------------------
 
@@ -149,7 +159,7 @@ class Index:
         return self._impl.items()
 
     def get_info(self):
-        return self._impl.get_info()
+        return self._require_initialized().get_info()
 
     def get_connected_component_counts(self):
         if self._impl is None:
@@ -157,7 +167,7 @@ class Index:
         return self._impl.get_connected_component_counts()
 
     def serialize(self, path: str) -> None:
-        self._impl.serialize(path)
+        self._require_initialized().serialize(path)
 
     @classmethod
     def deserialize(cls, path: str) -> "Index":

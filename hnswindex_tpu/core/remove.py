@@ -203,7 +203,9 @@ def affected_masks_all(cfg: GraphConfig, state: GraphState, rem_ids):
     C = state.capacity
     rmask = _removed_mask(state, rem_ids)
     blocks = max(1, C >> 19)          # <= 512k rows per step
-    rows = C // blocks
+    rows = -(-C // blocks)            # ceil: cover the tail at non-pow2 C
+    # (dynamic_slice/update clamp the final block's start to C - rows, so
+    # the overlap rows are just recomputed — values don't depend on acc)
     aff, mul = [], []
     for l in range(state.num_levels):
         nbr_l, _ = nbr_slice(state, l)

@@ -383,10 +383,14 @@ def range_search(cfg: GraphConfig, state: GraphState,
 
     out = lax.while_loop(cond, body, init)
     ok = (out.bi >= 0) & (out.bd <= radius)
+    # saturation must see the pre-filter pool occupancy (filtered-out rows
+    # still hold slots) and reserve the E seed slots: an out-of-range seed
+    # evicted before expansion would silently lose its in-range pocket, so
+    # any pool that *could* have evicted one triggers the host retry.
+    n_occ = jnp.sum(ok, axis=1)
+    saturated = n_occ + E >= pool
     if filtered:
         ok = ok & filter_mask[jnp.clip(out.bi, 0, C - 1)]
-    n_res = jnp.sum(ok, axis=1)
-    saturated = n_res >= pool
     return (jnp.where(ok, out.bd, _INF), jnp.where(ok, out.bi, -1),
             saturated)
 

@@ -63,6 +63,7 @@ QUERY_BUCKETS = (8, 16, 128, 1024)
 # range-search result-pool ladder; radii covering more than the cap are
 # answered by an exact scan instead of unbounded pool growth
 RANGE_POOLS = (64, 512, 4096)
+RANGE_SEED_EF = 16   # k-NN seeds injected into the range pool (_range_once)
 # floor of the exact-build scan-prefix bucket ladder: coarse power-of-2
 # buckets keep the number of wave-program recompiles small (remote
 # compiles cost tens of seconds) while the scan cost tracks corpus growth
@@ -219,17 +220,24 @@ class HNSWIndex:
         lvls = G.sample_levels(self._rng, n, self.params.distribution_rate,
                                self._cfg.max_levels)
         ids = self._alloc_slots(n)
+        self._insert_batch(ids, a, lvls, "add.wave")
+        return ids
 
+    def _insert_batch(self, ids: np.ndarray, a: np.ndarray,
+                      lvls: np.ndarray, phase: str) -> None:
+        """Seed-then-wave insertion shared by add() and update(): bootstrap
+        the first node as the entry point with no edges
+        (GraphConnector.cs:27-33), then drain bucketed waves under the
+        built-count doubling throttle (a graph of b nodes accepts at most
+        b items per wave, so early waves stay small and quality holds)."""
+        n = ids.shape[0]
         i = 0
         if self._count_host == 0:
-            # bootstrap: the first node becomes the entry point with no
-            # edges (GraphConnector.cs:27-33)
             self._state = G.seed_first_node(self._cfg, self._state,
                                             int(ids[0]), a[0], int(lvls[0]))
             self._note_seed(int(ids[0]), int(lvls[0]))
             self._count_host = 1
             i = 1
-
         while i < n:
             built = self._count_host
             w = min(self.params.max_wave_size, max(1, built), n - i)
@@ -242,11 +250,10 @@ class HNSWIndex:
             wvec[:w] = a[i:i + w]
             wlvl[:w] = lvls[i:i + w]
             valid[:w] = True
-            with profiler.phase("add.wave"):
+            with profiler.phase(phase):
                 self._insert_wave(wid, wvec, wlvl, valid)
             self._count_host += w
             i += w
-        return ids
 
     # -- upper-node panel (exact build path) ---------------------------
     # The panel is the device-resident compacted id list of every live
@@ -443,29 +450,7 @@ class HNSWIndex:
         lvls = G.sample_levels(self._rng, arr.size,
                                self.params.distribution_rate,
                                self._cfg.max_levels)
-        i = 0
-        if self._count_host == 0:
-            self._state = G.seed_first_node(self._cfg, self._state,
-                                            int(arr[0]), a[0], int(lvls[0]))
-            self._note_seed(int(arr[0]), int(lvls[0]))
-            self._count_host = 1
-            i = 1
-        while i < arr.size:
-            built = self._count_host
-            w = min(self.params.max_wave_size, max(1, built), arr.size - i)
-            b = _bucket(w, WAVE_BUCKETS)
-            wid = np.full(b, -1, dtype=np.int32)
-            wvec = np.zeros((b, self.dim), dtype=np.float32)
-            wlvl = np.zeros(b, dtype=np.int32)
-            valid = np.zeros(b, dtype=bool)
-            wid[:w] = arr[i:i + w]
-            wvec[:w] = a[i:i + w]
-            wlvl[:w] = lvls[i:i + w]
-            valid[:w] = True
-            with profiler.phase("update.wave"):
-                self._insert_wave(wid, wvec, wlvl, valid)
-            self._count_host += w
-            i += w
+        self._insert_batch(arr, a, lvls, "update.wave")
 
     # ------------------------------------------------------------------
     # queries
@@ -787,8 +772,12 @@ class HNSWIndex:
         ids_out: List[Optional[np.ndarray]] = [None] * n
         d_out: List[Optional[np.ndarray]] = [None] * n
 
+        # the pool must hold the in-range rows AND the (possibly
+        # out-of-range) k-NN seeds, which are expanded once to cover
+        # disconnected in-range pockets — an evicted unexpanded seed
+        # would silently lose its pocket
         exact_rows = [i for i in range(n)
-                      if counts[i] > RANGE_POOLS[-1]]
+                      if counts[i] + RANGE_SEED_EF >= RANGE_POOLS[-1]]
         graph_rows = [i for i in range(n) if i not in set(exact_rows)]
 
         for i in exact_rows:
@@ -804,7 +793,8 @@ class HNSWIndex:
             qpad[:w] = q[take]
             qj = jnp.asarray(qpad)
             need = int(max([counts[t] for t in take], default=0))
-            start = next((p for p in RANGE_POOLS if p >= need + 1),
+            start = next((p for p in RANGE_POOLS
+                          if p >= need + RANGE_SEED_EF + 1),
                          RANGE_POOLS[-1])
             for pool in [p for p in RANGE_POOLS if p >= start]:
                 d, ids, sat = self._range_once(qj, radius, layer, pool,
@@ -896,7 +886,7 @@ class HNSWIndex:
         ep_ok = jnp.broadcast_to(self._state.ep >= 0, (B,))
         # multi-seed from a preliminary k-NN beam: covers in-range pockets
         # not connected to the greedy entry through in-range nodes
-        seed_ef = 16
+        seed_ef = RANGE_SEED_EF
         _, seeds = knn_search(self._cfg, self._state, qj,
                               int(layer), seed_ef,
                               self._cfg.search_iter_factor * seed_ef + 16)
@@ -926,7 +916,9 @@ class HNSWIndex:
         qj = jnp.asarray(np.broadcast_to(q, (B, q.shape[1])))
         qn = dst.norm_data(self.metric, qj)
         ep = int(self._state.ep)
-        ep_level = int(np.asarray(self._state.level)[ep])
+        # device-side index + scalar readback — np.asarray(level) would
+        # mirror the whole (C,) table through the relay per call
+        ep_level = int(np.asarray(self._state.level[ep]))
 
         from .core.search import beam_search, greedy_descent
         if ep_level >= max_layer:

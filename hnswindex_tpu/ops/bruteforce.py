@@ -157,7 +157,9 @@ def exact_knn2(metric: str, vectors: jnp.ndarray, coarse: jnp.ndarray,
     if fused is None:
         fused = (panel_bf16 and coarse.dtype == jnp.bfloat16
                  and Cs % (8 * FUSED_BS) == 0 and S <= FUSED_BS
-                 and jax.default_backend() == "tpu")
+                 # the tunneled production backend registers as "axon",
+                 # not "tpu" (same idiom as block.py's Pallas gate)
+                 and jax.default_backend() in ("tpu", "axon"))
 
     if fused:
         from .fused_scan import lane_min_scan, rank_transform

@@ -243,10 +243,17 @@ class ShardedIndex:
             self._seeded[s] = True
             shard_of[j] = -1  # consumed
 
-        # per-shard wave queues with the same doubling schedule as the
-        # single-chip index: a shard holding b nodes accepts at most b new
-        # items per wave, so early waves stay small and graph quality holds.
         queues = [list(np.flatnonzero(shard_of == s)) for s in range(S)]
+        self._drain_waves(queues, slots, a, lvls_all)
+        return gids
+
+    def _drain_waves(self, queues, slot_of, vecs, lvls) -> None:
+        """Run per-shard insert queues through the SPMD wave program with
+        the same doubling schedule as the single-chip index: a shard
+        holding b nodes accepts at most b new items per wave, so early
+        waves stay small and graph quality holds.  ``queues[s]`` holds
+        indices j into ``slot_of``/``vecs``/``lvls``; consumed in place."""
+        S = self.n_shards
         built = np.array([max(1, self._counts[s] - len(queues[s]))
                           for s in range(S)], dtype=np.int64)
         Wmax = max(1, self.params.max_wave_size // S)
@@ -261,14 +268,13 @@ class ShardedIndex:
                 take, queues[s] = queues[s][:w], queues[s][w:]
                 built[s] += len(take)
                 for t, j in enumerate(take):
-                    ids_w[s, t] = slots[j]
-                    vec_w[s, t] = a[j]
-                    lvl_w[s, t] = lvls_all[j]
+                    ids_w[s, t] = slot_of[j]
+                    vec_w[s, t] = vecs[j]
+                    lvl_w[s, t] = lvls[j]
                     val_w[s, t] = True
             self._state = wave_fn(self._state, jnp.asarray(ids_w),
                                   jnp.asarray(vec_w), jnp.asarray(lvl_w),
                                   jnp.asarray(val_w))
-        return gids
 
     # ------------------------------------------------------------------
     # queries
@@ -628,12 +634,22 @@ class ShardedIndex:
             d, gi, sat = fn(self._state, qj, radius_j, fm)
             if not bool(np.asarray(sat).any()):
                 break
+        # shard/query pairs still saturated at the pool cap get an exact
+        # per-shard scan (the single-chip facade's overflow path,
+        # HNSWIndex._range_exact_host) so dense radii stay complete
+        sat_np = np.asarray(sat)
         # (S, n, pool) -> per-query merged ragged rows
         gi = np.swapaxes(np.asarray(gi), 0, 1).reshape(n, -1)
         ids_out, d_out = [], []
         for r in range(n):
             row = gi[r]
             row = row[row >= 0]
+            if sat_np[:, r].any():
+                extra = [row]
+                for s in np.flatnonzero(sat_np[:, r]):
+                    extra.append(self._range_exact_shard(
+                        int(s), q[r], radius, fmask, int(layer)))
+                row = np.unique(np.concatenate(extra))
             if row.size == 0:
                 ids_out.append(np.empty(0, np.int32))
                 d_out.append(np.empty(0, np.float32))
@@ -651,6 +667,34 @@ class ShardedIndex:
             ids_out.append(rid[0][keep])
             d_out.append(rd[0][keep])
         return ids_out, d_out
+
+    def _range_exact_shard(self, s: int, q1: np.ndarray, radius: float,
+                           fmask, layer: int) -> np.ndarray:
+        """Exact in-range global ids of one shard for one query — the
+        overflow path for radii denser than the pool cap (mirrors
+        HNSWIndex._range_exact_host)."""
+        local = self._local(s)
+        C = self.shard_capacity
+        allowed = local.active
+        if layer > 0:
+            allowed = allowed & (local.level >= layer)
+        if fmask is not None:
+            allowed = allowed & fmask[s]
+        if dst.is_custom(self.metric):
+            hv = self._host_vecs()[s]
+            d = np.asarray(dst.exact(self.metric,
+                                     q1[None, :].astype(np.float32),
+                                     hv.astype(np.float32)),
+                           dtype=np.float64).ravel()
+            d = np.where(np.asarray(allowed), d, np.inf)
+            hit = np.flatnonzero(d <= radius)
+        else:
+            from ..ops.bruteforce import range_distances
+            d = np.asarray(range_distances(
+                self._cfg.metric, local.vectors, local.norms, allowed,
+                jnp.asarray(q1), jnp.float32(radius)))
+            hit = np.flatnonzero(np.isfinite(d))
+        return (hit + s * C).astype(np.int64)
 
     def _layer_beam_fn(self, k: int, max_iters: int, layer: int):
         cfg = self._cfg
@@ -720,11 +764,14 @@ class ShardedIndex:
             raise RuntimeError("Removals are disabled in this index "
                                "instance.")
         from ..core.remove import remove_from_state
+        C = self.shard_capacity
         arr = np.unique(np.asarray(gids, dtype=np.int64).ravel())
+        # out-of-range ids are ignored like inactive ones (negative gids
+        # would otherwise wrap through numpy indexing onto live nodes)
+        arr = arr[(arr >= 0) & (arr < self.n_shards * C)]
         if arr.size == 0:
             return
         self._invalidate_caches()
-        C = self.shard_capacity
         active = np.asarray(self._state.active)
         shard_of = arr // C
         local_of = (arr % C).astype(np.int32)
@@ -773,8 +820,6 @@ class ShardedIndex:
                                self._cfg.max_levels)
         shard_of = arr // C
         slot_of = (arr % C).astype(np.int64)
-        Wmax = max(1, self.params.max_wave_size // S)
-        wave_fn = self._wave_fn(Wmax)
         for s in range(S):
             freed = {int(x) for x in slot_of[shard_of == s]}
             self._free[s] = [x for x in self._free[s] if x not in freed]
@@ -788,21 +833,7 @@ class ShardedIndex:
                     int(lvls[j]))
                 self._set_local(s, local)
                 self._seeded[s] = True
-        while any(queues):
-            ids_w = np.full((S, Wmax), -1, np.int32)
-            vec_w = np.zeros((S, Wmax, self.dim), np.float32)
-            lvl_w = np.zeros((S, Wmax), np.int32)
-            val_w = np.zeros((S, Wmax), bool)
-            for s in range(S):
-                take, queues[s] = queues[s][:Wmax], queues[s][Wmax:]
-                for t, j in enumerate(take):
-                    ids_w[s, t] = slot_of[j]
-                    vec_w[s, t] = a[j]
-                    lvl_w[s, t] = lvls[j]
-                    val_w[s, t] = True
-            self._state = wave_fn(self._state, jnp.asarray(ids_w),
-                                  jnp.asarray(vec_w), jnp.asarray(lvl_w),
-                                  jnp.asarray(val_w))
+        self._drain_waves(queues, slot_of, a, lvls)
 
     # ------------------------------------------------------------------
     # introspection

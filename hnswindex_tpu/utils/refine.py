@@ -37,6 +37,10 @@ def refine_pairs(metric: str, q: np.ndarray, ids: np.ndarray,
     Returns (ids (B, k) int32, dists (B, k) f32) ascending with the
     reference C ABI's -1/NaN padding (HNSWIndexExports.cs:144)."""
     B = q.shape[0]
+    if ids.shape[1] < k:     # fewer candidates than requested k: -1/NaN pad
+        pad = k - ids.shape[1]
+        ids = np.pad(np.asarray(ids), ((0, 0), (0, pad)), constant_values=-1)
+        cand_vecs = np.pad(cand_vecs, ((0, 0), (0, pad), (0, 0)))
     vecs = cand_vecs.astype(np.float64)
     qq = q.astype(np.float64)[:, None, :]
     if dst.is_custom(metric):
@@ -81,6 +85,10 @@ def refine_on_device(metric: str, vectors, q: np.ndarray, ids: np.ndarray,
     """Device-side refine: gather + direct-formula distances + re-sort on
     the device, then transfer only the (B, k) results (see module
     docstring).  Same contract as :func:`refine_pairs`."""
+    ids = np.asarray(ids)
+    if ids.shape[1] < k:     # fewer candidates than requested k: -1/NaN pad
+        ids = np.pad(ids, ((0, 0), (0, k - ids.shape[1])),
+                     constant_values=-1)
     oi, od = _refine_device(metric, vectors, jnp.asarray(q),
                             jnp.asarray(ids), k)
     out_ids = np.asarray(oi)

@@ -62,3 +62,22 @@ def test_exact_padding_when_k_exceeds_count():
     got, d = ix.knn_query(v[:2], 6, exact=True)
     assert np.all(got[:, 3:] == -1)
     assert np.all(np.isnan(d[:, 3:]))
+
+
+def test_exact_padding_when_k_exceeds_capacity():
+    """k larger than the whole capacity: the scorer returns fewer than k
+    candidate columns and the refine layer must pad, not crash."""
+    ix = Index(DIM)
+    ix.set_collection_size(2)
+    rng = np.random.default_rng(5)
+    v = rng.random((2, DIM), dtype=np.float32)
+    ix.add(v)
+    got, d = ix.knn_query(v, 5, exact=True)
+    assert got.shape == (2, 5) and d.shape == (2, 5)
+    assert (got[:, :2] >= 0).all()
+    assert np.all(got[:, 2:] == -1)
+    assert np.all(np.isnan(d[:, 2:]))
+    # graph path agrees on the same contract
+    got2, d2 = ix.knn_query(v, 5)
+    assert got2.shape == (2, 5)
+    assert np.all(got2[:, 2:] == -1)

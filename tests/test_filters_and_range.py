@@ -88,6 +88,53 @@ def test_range_pool_sized_up_front(built):
         assert np.all(np.diff(r_d[r]) >= -1e-6)
 
 
+def test_range_complete_near_pool_boundary(built):
+    """In-range population just under a pool rung: the pool must also hold
+    the (possibly out-of-range) k-NN seeds, or an evicted unexpanded seed
+    silently loses its pocket.  Completeness vs brute force at counts
+    straddling the first rung (64)."""
+    ix, vecs, ids = built
+    hv = ix._host_vecs()[:N]
+    nbr0 = np.asarray(ix._state.nbr0)[:N]
+    d_all = ((vecs[:6, None, :] - hv[None, :, :]) ** 2).sum(-1)
+
+    def reachable(d, radius):
+        """In-range nodes reachable from the 16 nearest seeds through
+        in-range paths — the BFS semantics both this engine and the
+        reference implement (GraphNavigator.cs:303: only in-range nodes
+        join the frontier), so this is the semantic oracle; plain brute
+        force overcounts by the disconnected in-range pockets."""
+        seeds = set(np.argsort(d)[:16].tolist())
+        seen, frontier = set(seeds), list(seeds)
+        while frontier:
+            x = frontier.pop()
+            if d[x] > radius and x not in seeds:
+                continue
+            for nb in nbr0[x]:
+                nb = int(nb)
+                if nb >= 0 and nb not in seen:
+                    seen.add(nb)
+                    if d[nb] <= radius:
+                        frontier.append(nb)
+        return {x for x in seen if d[x] <= radius}
+
+    for rank in (55, 62):       # need + 16 seeds crosses the 64 pool rung
+        for r in range(6):
+            # per-query radius so every truth set sits at the rung edge
+            radius = float(np.sort(d_all[r])[rank] + 1e-7)
+            r_ids, r_d = ix.range_query(vecs[r], radius)
+            truth = set(np.flatnonzero(d_all[r] <= radius).tolist())
+            reach = reachable(d_all[r], radius)
+            got = set(r_ids[0].tolist())
+            assert got <= truth
+            # an evicted unexpanded seed loses whole reachable pockets;
+            # 0.95 of the reachable set allows only seed-approximation
+            # noise (device seeds come from an ef=16 beam, not exact knn)
+            assert len(got & reach) / max(1, len(reach)) > 0.95, \
+                (rank, r, len(truth), len(reach), len(got))
+            assert np.all(np.diff(r_d[0]) >= -1e-6)
+
+
 def test_range_exact_fallback_past_cap(built):
     """A radius covering (almost) the whole corpus exceeds the pool cap:
     the exact fallback returns the complete in-range set."""

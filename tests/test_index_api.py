@@ -158,3 +158,24 @@ def test_input_validation(corpus):
         index.add(np.zeros((3, DIM + 1), np.float32))
     with pytest.raises(ValueError):
         Index(DIM, metric="bogus")
+
+
+def test_pre_init_calls_raise_cleanly(corpus):
+    """Query/mutation entry points before the lazy init (first add) raise
+    a clean RuntimeError — the reference documents them as 'assumes the
+    index has already been initialized' (bindings.py:461)."""
+    index = Index(DIM)
+    q = np.zeros(DIM, np.float32)
+    index.remove([])                     # empty input ignored even pre-init
+    for call in (lambda: index.knn_query(q, 3),
+                 lambda: index.range_query(q, 1.0),
+                 lambda: index.multi_layer_knn_query(q, 3),
+                 lambda: index.remove([0]),
+                 lambda: index.get_info(),
+                 lambda: index.serialize("/tmp/never_written.npz")):
+        with pytest.raises(RuntimeError, match="not initialized"):
+            call()
+    # pre-init introspection stays usable
+    assert index.count == 0
+    assert index.ids().size == 0
+    assert index.get_connected_component_counts() == []

@@ -232,6 +232,71 @@ def test_sharded_update():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_remove_ignores_out_of_range_ids():
+    """Negative / beyond-capacity gids are ignored like inactive ones —
+    a negative id must not wrap onto a live node in the last shard."""
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(47)
+    vecs = rng.random((100, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=128, max_wave_size=32)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+    cap = idx.n_shards * idx.shard_capacity
+    idx.remove([-1, -cap, cap, cap + 7, 10 ** 12])
+    assert idx.count == 100
+    ids, _ = idx.knn_query(vecs, 1)
+    assert (ids[:, 0] == gids).mean() > 0.85
+    # mixed valid + invalid: only the valid live id is removed
+    idx.remove([int(gids[0]), -1, cap])
+    assert idx.count == 99
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_bulk_update_waves_throttled():
+    """update() of the whole corpus rebuilds each shard graph under the
+    same built-count doubling schedule as add(): early waves must be
+    small (a Wmax-wide first wave against a near-empty graph builds a
+    star and permanently degrades recall)."""
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(53)
+    vecs = rng.random((240, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=256, max_wave_size=128)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+
+    sizes = []
+    orig = idx._wave_fn
+
+    def spying(Wmax):
+        fn = orig(Wmax)
+
+        def wrapped(st, ids_w, vec_w, lvl_w, val_w):
+            sizes.append(np.asarray(val_w).sum(axis=1))   # per-shard widths
+            return fn(st, ids_w, vec_w, lvl_w, val_w)
+        return wrapped
+
+    idx._wave_fn = spying
+    new_vals = rng.random((240, DIM), dtype=np.float32)
+    idx.update(gids, new_vals)
+    idx._wave_fn = orig
+
+    assert sizes, "update issued no waves"
+    per_shard = np.stack(sizes)            # (waves, S)
+    # first wave: at most 2 per shard (1 existing/seeded node each)
+    assert per_shard[0].max() <= 2, per_shard[:, 0]
+    # growth stays within the doubling schedule
+    for s in range(per_shard.shape[1]):
+        built = 2
+        for w in per_shard[:, s]:
+            assert w <= built, per_shard[:, s]
+            built += int(w)
+
+    assert idx.count == 240
+    ri, _ = idx.knn_query(new_vals, 1)
+    assert (ri[:, 0] == gids).mean() > 0.85
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_f64_refined_distances():
     """Returned distances are f64-refined: non-negative, ascending, and
     matching the direct formula (ADVICE round 1)."""
