@@ -265,13 +265,13 @@ class ShardedIndex:
             val_w = np.zeros((S, Wmax), bool)
             for s in range(S):
                 w = int(min(Wmax, built[s], len(queues[s])))
-                take, queues[s] = queues[s][:w], queues[s][w:]
-                built[s] += len(take)
-                for t, j in enumerate(take):
-                    ids_w[s, t] = slot_of[j]
-                    vec_w[s, t] = vecs[j]
-                    lvl_w[s, t] = lvls[j]
-                    val_w[s, t] = True
+                take = np.asarray(queues[s][:w], dtype=np.int64)
+                queues[s] = queues[s][w:]
+                built[s] += take.size
+                ids_w[s, :take.size] = slot_of[take]
+                vec_w[s, :take.size] = vecs[take]
+                lvl_w[s, :take.size] = lvls[take]
+                val_w[s, :take.size] = True
             self._state = wave_fn(self._state, jnp.asarray(ids_w),
                                   jnp.asarray(vec_w), jnp.asarray(lvl_w),
                                   jnp.asarray(val_w))
