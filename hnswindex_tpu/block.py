@@ -56,7 +56,8 @@ def _kmeans_device(vecs, cents0, iters: int, chunk: int):
     vp = jnp.pad(vecs, ((0, pad), (0, 0)))
     vnp_ = jnp.pad(vn, (0, pad), constant_values=jnp.inf)
 
-    def one_iter(cents, _):
+    def one_iter(carry, _):
+        cents, _prev_labels = carry
         cn = jnp.sum(cents * cents, axis=1)
 
         def assign_chunk(s, carry):
@@ -64,6 +65,7 @@ def _kmeans_device(vecs, cents0, iters: int, chunk: int):
             vc = lax.dynamic_slice_in_dim(vp, s * chunk, chunk)
             vnc = lax.dynamic_slice_in_dim(vnp_, s * chunk, chunk)
             dots = jnp.einsum("nd,cd->nc", vc, cents,
+                              precision=dst.DOT_PRECISION,
                               preferred_element_type=jnp.float32)
             d = vnc[:, None] + cn[None, :] - 2.0 * dots
             lab = jnp.argmin(d, axis=1).astype(jnp.int32)
@@ -77,18 +79,21 @@ def _kmeans_device(vecs, cents0, iters: int, chunk: int):
                                          mode="drop")
             return labels, sums, counts
 
-        labels0 = jnp.zeros((n_chunks * chunk,), jnp.int32)
         sums0 = jnp.zeros((NC, D), jnp.float32)
         counts0 = jnp.zeros((NC,), jnp.float32)
         labels, sums, counts = lax.fori_loop(
-            0, n_chunks, assign_chunk, (labels0, sums0, counts0))
+            0, n_chunks, assign_chunk, (_prev_labels, sums0, counts0))
         new_cents = jnp.where(counts[:, None] > 0,
                               sums / jnp.maximum(counts[:, None], 1.0),
                               cents)
-        return new_cents, labels
+        return (new_cents, labels), None
 
-    cents, labels_hist = lax.scan(one_iter, cents0, None, length=iters)
-    return labels_hist[-1][:N]
+    # labels ride the carry (only the final assignment is needed) — stacking
+    # per-iteration label history would burn iters*(N,) i32 of HBM.
+    labels0 = jnp.zeros((n_chunks * chunk,), jnp.int32)
+    (_, labels), _ = lax.scan(one_iter, (cents0, labels0), None,
+                              length=iters)
+    return labels[:N]
 
 
 def _kmeans(vecs: np.ndarray, n_clusters: int, iters: int,
@@ -210,6 +215,7 @@ class BlockIndex:
             "dim": self.dim, "metric": self.metric,
             "block_size": self.block_size, "router": self.router,
             "count": int(self.count), "n_blocks": int(self.n_blocks),
+            "random_seed": int(self.params.random_seed),
         }
         np.savez_compressed(
             path,
@@ -221,9 +227,12 @@ class BlockIndex:
     @classmethod
     def deserialize(cls, path: str) -> "BlockIndex":
         import json
-        with np.load(path) as z:
+        from .core.snapshot import npz_path
+        with np.load(npz_path(path)) as z:
             header = json.loads(bytes(z["header"]).decode())
-            ix = cls(header["dim"], header["metric"],
+            params = HNSWParameters(
+                random_seed=int(header.get("random_seed", 31337)))
+            ix = cls(header["dim"], header["metric"], parameters=params,
                      block_size=header["block_size"],
                      router=header["router"])
             blk_vecs = z["blk_vecs"]
@@ -247,8 +256,11 @@ class BlockIndex:
         import jax as _jax
         ix._use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
         if ix.router == "hnsw":
+            # Same seed as build() so the reloaded router graph (and hence
+            # routing/recall) matches the pre-snapshot index exactly.
             from .index import HNSWIndex
-            p = HNSWParameters(collection_size=ix.n_blocks)
+            p = HNSWParameters(collection_size=ix.n_blocks,
+                               random_seed=ix.params.random_seed)
             ix._router_index = HNSWIndex(ix.dim, ix.metric, p)
             ix._router_index.add(np.asarray(ix._cents))
         ix._built = True
@@ -367,7 +379,7 @@ def _score_blocks(metric, blk_vecs, blk_ids, blk_norms, q, bids, k: int):
     B, P = bids.shape
     NB, BS, D = blk_vecs.shape
     qn = dst.norm_data(metric, q)
-    PG = max(1, min(P, 2 ** 20 // (BS * D // 128)))  # ~group transient cap
+    PG = max(1, min(P, 2 ** 20 // max(1, BS * D // 128)))  # transient cap
     PG = min(PG, 4)
     npad = -(-P // PG) * PG - P
     if npad:

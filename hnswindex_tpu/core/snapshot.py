@@ -27,10 +27,18 @@ import json
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import distance as dst
 from ..params import HNSWParameters
 from .graph import GraphConfig, GraphState
 
 FORMAT_VERSION = 2   # v2: layer-0 and upper-layer tables stored split
+
+
+def npz_path(path) -> str:
+    """np.savez_compressed appends ".npz" when missing; loaders must mirror
+    that so serialize("x") / deserialize("x") round-trips."""
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
 
 # magic of the native C++ host engine's snapshot (native/hnsw_host.cpp)
 _HOST_MAGIC = b"HNSWHST1"
@@ -130,11 +138,16 @@ def save(path: str, cfg: GraphConfig, params: HNSWParameters,
 def load(path: str):
     """Returns (header dict, params, state arrays re-padded to capacity,
     free list)."""
-    with np.load(path if str(path).endswith(".npz") else path) as z:
+    with np.load(npz_path(path)) as z:
         header = json.loads(bytes(z["header"]).decode())
         if header["format_version"] != FORMAT_VERSION:
             raise ValueError(
                 f"unsupported snapshot version {header['format_version']}")
+        # The distance function is code, not data: fail at load time if the
+        # stored metric is unknown (custom metrics must be re-registered
+        # before deserialize), matching the reference's re-supplied-delegate
+        # contract (HNSWIndex.cs:222).
+        dst.check_metric(header["metric"])
         C = header["capacity"]
         n = header["length"]
         L = header["max_levels"]

@@ -450,15 +450,36 @@ class HostIndex {
         capacity_ = newcap;
     }
 
-    int descend(const float* q, int ep, int to_layer) const {
+    // Copy a node's layer edge list under its stripe lock.  Build-path
+    // readers must use this: concurrent connect() calls push_back/reassign
+    // the vectors under lock_of, so an unlocked range-for can see a
+    // reallocated buffer mid-iteration.  (The outer out_[id] layer vector
+    // itself is assigned once before the node is published and never
+    // resized, so reading its size unlocked is safe.)
+    std::vector<int> neighbors_snapshot(int id, int layer) const {
+        std::lock_guard<std::mutex> g(lock_of(id));
+        if (layer >= (int)out_[id].size()) return {};
+        return out_[id][layer];
+    }
+
+    // locked=true: snapshot edge lists under per-node locks (insert path,
+    // runs concurrently with writers — the reference's SearchLayer).
+    // locked=false: lock-free reads (query path, no concurrent writers —
+    // the reference's SearchLayerQuery).
+    int descend(const float* q, int ep, int to_layer,
+                bool locked = false) const {
         int cur = ep;
         float curd = dist_to(q, cur);
+        std::vector<int> snap;
         for (int layer = levels_[cur]; layer > to_layer; --layer) {
             bool changed = true;
             while (changed) {
                 changed = false;
                 if (layer > levels_[cur]) break;
-                for (int nb : out_[cur][layer]) {
+                if (locked) snap = neighbors_snapshot(cur, layer);
+                const std::vector<int>& lst =
+                    locked ? snap : out_[cur][layer];
+                for (int nb : lst) {
                     float d = dist_to(q, nb);
                     if (d < curd) {
                         curd = d;
@@ -472,7 +493,8 @@ class HostIndex {
     }
 
     std::vector<Cand> search_layer(const float* q, int ep, int layer,
-                                   int ef, int exclude = -1) const {
+                                   int ef, int exclude = -1,
+                                   bool locked = false) const {
         std::priority_queue<Cand, std::vector<Cand>, CloserFirst> frontier;
         std::priority_queue<Cand, std::vector<Cand>, FartherFirst> top;
         std::unordered_set<int> visited{ep};
@@ -481,12 +503,15 @@ class HostIndex {
         if (ep != exclude) top.push({d0, ep});
         float worst = top.empty() ? std::numeric_limits<float>::max()
                                   : top.top().d;
+        std::vector<int> snap;
         while (!frontier.empty()) {
             Cand c = frontier.top();
             if (c.d > worst && (int)top.size() >= ef) break;
             frontier.pop();
             if (layer >= (int)out_[c.id].size()) continue;
-            for (int nb : out_[c.id][layer]) {
+            if (locked) snap = neighbors_snapshot(c.id, layer);
+            const std::vector<int>& lst = locked ? snap : out_[c.id][layer];
+            for (int nb : lst) {
                 if (!visited.insert(nb).second) continue;
                 float d = dist_to(q, nb);
                 if ((int)top.size() < ef || d < worst) {
@@ -552,9 +577,10 @@ class HostIndex {
         const float* q = &items_[(size_t)slot * dim_];
         int ep = entry_.load();
         int top = levels_[ep];
-        int cur = descend(q, ep, std::min(level, top));
+        int cur = descend(q, ep, std::min(level, top), /*locked=*/true);
         for (int layer = std::min(level, top); layer >= 0; --layer) {
-            auto cand = search_layer(q, cur, layer, p_.max_candidates);
+            auto cand = search_layer(q, cur, layer, p_.max_candidates, -1,
+                                     /*locked=*/true);
             auto sel = select_neighbors(cand, p_.max_edges);
             {
                 std::lock_guard<std::mutex> g(lock_of(slot));
@@ -569,24 +595,7 @@ class HostIndex {
                     std::vector<Cand> cc;
                     cc.reserve(lst.size());
                     for (int e : lst) cc.push_back({dist_ij(nb, e), e});
-                    lst = [&] {
-                        std::vector<int> kept;
-                        std::sort(cc.begin(), cc.end(),
-                                  [](const Cand& a, const Cand& b) {
-                                      return a.d < b.d;
-                                  });
-                        for (auto& c : cc) {
-                            if ((int)kept.size() >= max_degree(layer)) break;
-                            bool ok = true;
-                            for (int s : kept)
-                                if (dist_ij(s, c.id) < c.d) {
-                                    ok = false;
-                                    break;
-                                }
-                            if (ok) kept.push_back(c.id);
-                        }
-                        return kept;
-                    }();
+                    lst = select_neighbors(cc, max_degree(layer));
                 }
             }
             if (!sel.empty()) cur = sel[0];
@@ -796,8 +805,11 @@ int hnsw_range_query(void* h, const float* vecs, int count, int dim,
         set_error("dimension mismatch");
         return -1;
     }
+    int done = 0;  // slots [0, done) are assigned; later slots may hold
+                   // caller garbage (the ABI does not promise zero-init)
     try {
-        for (int i = 0; i < count; ++i) {
+        for (; done < count; ++done) {
+            int i = done;
             auto res = ix->range(vecs + (size_t)i * dim, radius);
             int m = (int)res.size();
             counts[i] = m;
@@ -808,6 +820,11 @@ int hnsw_range_query(void* h, const float* vecs, int count, int dim,
             }
             int* ids = (int*)std::malloc(sizeof(int) * m);
             float* ds = (float*)std::malloc(sizeof(float) * m);
+            if (!ids || !ds) {
+                std::free(ids);
+                std::free(ds);
+                throw std::bad_alloc();
+            }
             for (int j = 0; j < m; ++j) {
                 ids[j] = res[j].id;
                 ds[j] = res[j].d;
@@ -818,8 +835,8 @@ int hnsw_range_query(void* h, const float* vecs, int count, int dim,
         return count;
     } catch (const std::exception& e) {
         set_error(e.what());
-        // free partial allocations
-        for (int i = 0; i < count; ++i) {
+        // free only the slots this call actually assigned
+        for (int i = 0; i < done; ++i) {
             std::free(out_ids[i]);
             std::free(out_dists[i]);
             out_ids[i] = nullptr;

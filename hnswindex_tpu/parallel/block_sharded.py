@@ -151,7 +151,9 @@ class ShardedBlockIndex:
         relative to shipping the block tables; same geometry guaranteed by
         the stored seed-free deterministic layout inputs)."""
         import json
-        with np.load(path) as z:
+
+        from ..core.snapshot import npz_path
+        with np.load(npz_path(path)) as z:
             header = json.loads(bytes(z["header"]).decode())
             vecs = z["vectors"]
         p = HNSWParameters(random_seed=header.get("random_seed", 31337))

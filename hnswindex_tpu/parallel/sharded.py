@@ -952,7 +952,9 @@ class ShardedIndex:
                     devices: List[jax.Device] | None = None
                     ) -> "ShardedIndex":
         import json
-        with np.load(path) as z:
+
+        from ..core.snapshot import npz_path
+        with np.load(npz_path(path)) as z:
             header = json.loads(bytes(z["header"]).decode())
             arrays = {f: z[f] for f in z.files if f != "header"}
         devices = devices or jax.devices()

@@ -88,3 +88,43 @@ def test_block_serialize_roundtrip(data, tmp_path):
     b = r.knn_query(q, 10, n_probe=32)
     assert np.array_equal(a[0], b[0])
     assert np.array_equal(a[1], b[1], equal_nan=True)
+
+
+def test_block_serialize_roundtrip_without_extension(data, tmp_path):
+    # np.savez appends ".npz"; deserialize must accept the original path
+    vecs, q, gt = data
+    ix = BlockIndex(DIM, block_size=64)
+    ix.build(vecs)
+    path = str(tmp_path / "block_noext")
+    ix.serialize(path)
+    r = BlockIndex.deserialize(path)
+    a = ix.knn_query(q, 10, n_probe=8)
+    b = r.knn_query(q, 10, n_probe=8)
+    assert np.array_equal(a[0], b[0])
+
+
+def test_block_hnsw_router_roundtrip_preserves_seed(data, tmp_path):
+    # the reloaded router must be rebuilt with the original random_seed so
+    # routing (and therefore results) match the pre-snapshot index exactly
+    vecs, q, gt = data
+    ix = BlockIndex(DIM, block_size=64, router="hnsw",
+                    parameters=HNSWParameters(random_seed=7))
+    ix.build(vecs)
+    path = str(tmp_path / "block_hnsw.npz")
+    ix.serialize(path)
+    r = BlockIndex.deserialize(path)
+    assert r.params.random_seed == 7
+    a = ix.knn_query(q, 10, n_probe=8)
+    b = r.knn_query(q, 10, n_probe=8)
+    assert np.array_equal(a[0], b[0])
+    assert np.array_equal(a[1], b[1], equal_nan=True)
+
+
+def test_block_tiny_shapes_no_div_by_zero():
+    # block_size * dim < 128 used to ZeroDivisionError in _score_blocks
+    rng = np.random.default_rng(5)
+    vecs = rng.random((64, 16), dtype=np.float32)
+    ix = BlockIndex(16, block_size=4)
+    ix.build(vecs)
+    ids, dists = ix.knn_query(vecs[:3], k=2, n_probe=ix.n_blocks)
+    assert np.array_equal(ids[:, 0], np.arange(3))

@@ -36,6 +36,46 @@ def test_serialize_roundtrip_exact(built, tmp_path):
     assert np.array_equal(restored.ids(), index.ids())
 
 
+def test_serialize_roundtrip_without_extension(built, tmp_path):
+    # np.savez appends ".npz"; deserialize must accept the original path
+    index, vecs, ids = built
+    path = str(tmp_path / "index_noext")
+    index.serialize(path)
+    restored = Index.deserialize(path)
+    ids1, d1 = index.knn_query(vecs[:20], 5)
+    ids2, d2 = restored.knn_query(vecs[:20], 5)
+    assert np.array_equal(ids1, ids2)
+    assert np.array_equal(d1, d2, equal_nan=True)
+
+
+def test_deserialize_unknown_metric_fails_at_load(built, tmp_path):
+    # the metric name is revalidated on load: a snapshot built with a
+    # custom metric must fail with a clear error if the metric is not
+    # re-registered in the loading process (HNSWIndex.cs:222 analog)
+    from hnswindex_tpu.ops import distance as dst
+
+    index, vecs, ids = built
+    path = str(tmp_path / "badmetric.npz")
+    index.serialize(path)
+    name = "test_vanishing_metric"
+    dst.register_metric(name, lambda a, b: ((a - b) ** 2).sum(-1))
+    try:
+        import json
+
+        import numpy as _np
+        with _np.load(path) as z:
+            arrays = {f: z[f] for f in z.files}
+        header = json.loads(bytes(arrays["header"]).decode())
+        header["metric"] = name
+        arrays["header"] = _np.frombuffer(
+            json.dumps(header).encode(), dtype=_np.uint8)
+        _np.savez_compressed(path, **arrays)
+    finally:
+        dst._CUSTOM_METRICS.pop(name, None)
+    with pytest.raises(ValueError, match="unknown metric"):
+        Index.deserialize(path)
+
+
 def test_serialized_index_still_mutable(built, tmp_path):
     index, vecs, ids = built
     path = str(tmp_path / "index2.npz")
