@@ -28,7 +28,7 @@ BUDGET_S = float(os.environ.get("PROBE_BUDGET_S", "900"))
 CAP = int(os.environ.get("PCAP", str(int(8.4 * 2 ** 20))))
 SEED_N = int(os.environ.get("PSEED", str(256 * 1024)))
 DIM = 128
-W = 512
+W = int(os.environ.get("PW", "512"))
 R = int(os.environ.get("PR", "8"))
 
 
