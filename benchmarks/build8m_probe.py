@@ -70,6 +70,7 @@ log(f"build: {PN} in {total:.1f}s (avg {PN / total:.0f}/s, "
 # by construction of the oracle; verified vs numpy at small scale in tests)
 gids, t_exact = None, float("nan")
 try:
+    gids, _ = idx.knn_query(qpool, k=10, exact=True)  # warm the compile
     t0 = time.perf_counter()
     gids, _ = idx.knn_query(qpool, k=10, exact=True)  # synced np arrays
     t_exact = time.perf_counter() - t0
