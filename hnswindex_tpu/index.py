@@ -124,6 +124,26 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
+#: Capacity (and scan-prefix) alignment quantum: the fused streaming scan
+#: (ops/fused_scan.py) requires its corpus prefix to be a multiple of
+#: 8 * FUSED_BS = 8192 rows.
+_CAP_ALIGN = 8192
+
+
+def _alloc_capacity(n: int) -> int:
+    """Allocated rows for a requested collection size.
+
+    Below the alignment quantum a power of 2 (cheap, mirrors the
+    reference's doubling growth, GraphData.cs:100); above it the next
+    8192-row multiple — rounding 9M rows up to the next power of 2 would
+    allocate a 16.7M-row (20.7 GB at 128-d) state that cannot fit one
+    chip's HBM, doubling memory for nothing, while 8192-alignment keeps
+    the fused-scan gate satisfied at full-capacity scans."""
+    if n <= _CAP_ALIGN:
+        return _next_pow2(max(n, 2))
+    return -(-n // _CAP_ALIGN) * _CAP_ALIGN
+
+
 def _as_2d_f32(x, dim: int) -> np.ndarray:
     a = np.asarray(x, dtype=np.float32)
     if a.ndim == 1:
@@ -148,7 +168,7 @@ class HNSWIndex:
         self.params.validate()
 
         p = self.params
-        capacity = _next_pow2(max(p.collection_size, 2))
+        capacity = _alloc_capacity(p.collection_size)
         max_levels = G.default_max_levels(capacity, p.distribution_rate)
         self._cfg = G.GraphConfig(
             dim=self.dim, metric=metric, max_edges=p.max_edges,

@@ -83,8 +83,9 @@ class ShardedIndex:
         self.mesh = Mesh(np.asarray(devices), axis_names=("shard",))
 
         p = self.params
-        local_cap = max(2, -(-p.collection_size // self.n_shards))
-        local_cap = 1 << (local_cap - 1).bit_length()
+        from ..index import _alloc_capacity
+        local_cap = _alloc_capacity(
+            max(2, -(-p.collection_size // self.n_shards)))
         self.shard_capacity = local_cap
         max_levels = G.default_max_levels(local_cap, p.distribution_rate)
         from ..index import resolve_rank_dtype

@@ -179,3 +179,25 @@ def test_pre_init_calls_raise_cleanly(corpus):
     assert index.count == 0
     assert index.ids().size == 0
     assert index.get_connected_component_counts() == []
+
+
+def test_alloc_capacity_alignment():
+    """Capacity rounding: power of 2 below the 8192 quantum (cheap small
+    states), 8192-row multiples above it (a 9M-row request must NOT round
+    to a 16.7M-row power of 2 — that state is 20.7 GB at 128-d and cannot
+    fit one chip; 8192-alignment keeps the fused-scan gate satisfied)."""
+    from hnswindex_tpu.index import _alloc_capacity, _CAP_ALIGN
+
+    assert _alloc_capacity(0) == 2
+    assert _alloc_capacity(2) == 2
+    assert _alloc_capacity(100) == 128
+    assert _alloc_capacity(8192) == 8192
+    assert _alloc_capacity(8193) == 16384
+    cap = _alloc_capacity(9_000_000)
+    assert cap == 9003008 and cap % _CAP_ALIGN == 0
+    # an index built with a large non-pow2 collection_size allocates the
+    # aligned capacity, not the next power of 2
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+    ix = HNSWIndex(8, parameters=HNSWParameters(collection_size=9000))
+    assert ix._state.capacity == 16384  # 2 * 8192, not 2**14 coincidence:
+    assert _alloc_capacity(9000) == 16384
