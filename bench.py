@@ -99,6 +99,19 @@ def main():
     build_rate = (n - half) / steady_s
     log(f"build: total {warm_s + steady_s:.1f}s; steady-state "
         f"{build_rate:.0f} inserts/s")
+    # Through a tunneled backend the build is often HOST->DEVICE BOUND,
+    # not engine-bound: add() ships dim*4 bytes per insert and the relay
+    # has run anywhere from 2.9 to 18 MB/s on different days.  Measure
+    # the link and say so (benchmarks/device_build_probe.py measures the
+    # engine with device-resident waves; production hosts ingest over
+    # PCIe at >10 GB/s where this ceiling is irrelevant).
+    probe = np.zeros((1 << 21,), np.float32)  # 8 MB
+    t0 = time.perf_counter()
+    np.asarray(jnp.sum(jnp.asarray(probe)))
+    h2d = 8.0 / max(1e-9, time.perf_counter() - t0)
+    ceil = h2d * (1 << 20) / (dim * 4)
+    log(f"H2D link: {h2d:.1f} MB/s -> ingest ceiling ~{ceil:.0f} "
+        f"inserts/s{' (BUILD IS TRANSFER-BOUND)' if build_rate > 0.3 * ceil else ''}")
 
     cfg = idx._cfg
     state = idx._state

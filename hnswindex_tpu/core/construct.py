@@ -249,6 +249,53 @@ def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
     return nbr_l, deg_l, entry
 
 
+@partial(jax.jit, static_argnames=("bucket", "max_wave"))
+def wave_head(count, dids, dvecs, dlvls, cur, n_total, bucket: int,
+              max_wave: int):
+    """Compute the next insert wave's lanes ENTIRELY on device.
+
+    ``dids/dvecs/dlvls`` are the whole add() batch, uploaded once;
+    ``cur`` is a device cursor and ``n_total`` a device scalar of the
+    batch's true length.  The wave width replicates the host scheduler's
+    formula (w = min(max_wave, max(1, built), remaining); the host picks
+    the static ``bucket`` from its exact mirror of the same quantities),
+    so zero per-wave host->device uploads are needed — through a
+    tunneled backend each upload costs 30-130 ms of latency, which was
+    the dominant per-wave cost (a 512-wave's 4 uploads capped builds at
+    ~5.5k inserts/s at ANY corpus size).
+
+    Returns (wid, wvec, wlvl, valid, cur') shaped to ``bucket``."""
+    D = dvecs.shape[1]
+    n = dids.shape[0]
+    remaining = n_total - cur
+    w = jnp.minimum(jnp.minimum(max_wave, jnp.maximum(1, count)),
+                    remaining)
+    w = jnp.minimum(w, bucket)
+    lane = jnp.arange(bucket, dtype=jnp.int32)
+    valid = lane < w
+    safe = jnp.clip(cur + lane, 0, n - 1)
+    wid = jnp.where(valid, dids[safe], -1)
+    wlvl = jnp.where(valid, dlvls[safe], 0)
+    wvec = jnp.where(valid[:, None], dvecs[safe], 0.0).astype(jnp.float32)
+    return wid, wvec, wlvl, valid, cur + w
+
+
+@partial(jax.jit, static_argnames=("ubucket",))
+def upper_compact(wid, wlvl, valid, ubucket: int):
+    """Compact a wave's level>=1 members into a small lane bucket on
+    device (the host used np.flatnonzero + an upload per wave; the host
+    still knows the exact upper count and picks the static bucket).
+    Returns (uid, ulvl, uval, lanes) — ``lanes`` maps upper lanes back to
+    wave lanes (-1 pad) for the beam path's entry chaining."""
+    isup = valid & (wlvl >= 1)
+    order = jnp.argsort(~isup, stable=True)[:ubucket].astype(jnp.int32)
+    uval = isup[order]
+    uid = jnp.where(uval, wid[order], -1)
+    ulvl = jnp.where(uval, wlvl[order], 0)
+    lanes = jnp.where(uval, order, -1)
+    return uid, ulvl, uval, lanes
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def scatter_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls,
                  valid):

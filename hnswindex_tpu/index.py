@@ -243,13 +243,25 @@ class HNSWIndex:
         self._insert_batch(ids, a, lvls, "add.wave")
         return ids
 
+    #: one-shot batch-upload slab: bounds the transient device copy of the
+    #: incoming vectors (512 MB at 128-d f32 -> 1M rows per slab)
+    _SLAB_ROWS = (1 << 29) // (128 * 4)
+
     def _insert_batch(self, ids: np.ndarray, a: np.ndarray,
                       lvls: np.ndarray, phase: str) -> None:
         """Seed-then-wave insertion shared by add() and update(): bootstrap
         the first node as the entry point with no edges
         (GraphConnector.cs:27-33), then drain bucketed waves under the
         built-count doubling throttle (a graph of b nodes accepts at most
-        b items per wave, so early waves stay small and quality holds)."""
+        b items per wave, so early waves stay small and quality holds).
+
+        The batch is uploaded in big slabs and every wave's lanes are
+        computed ON DEVICE from a carried cursor (construct.wave_head):
+        through a tunneled backend each host->device upload costs
+        30-130 ms of latency, and the old per-wave uploads (ids, vecs,
+        lvls, valid) capped builds at ~5.5k inserts/s at ANY corpus
+        size.  The host mirrors the wave scheduler exactly (it owns the
+        count/levels), so static bucket choices never read the device."""
         n = ids.shape[0]
         i = 0
         if self._count_host == 0:
@@ -258,22 +270,40 @@ class HNSWIndex:
             self._note_seed(int(ids[0]), int(lvls[0]))
             self._count_host = 1
             i = 1
-        while i < n:
-            built = self._count_host
-            w = min(self.params.max_wave_size, max(1, built), n - i)
-            b = _bucket(w, WAVE_BUCKETS)
-            wid = np.full(b, -1, dtype=np.int32)
-            wvec = np.zeros((b, self.dim), dtype=np.float32)
-            wlvl = np.zeros(b, dtype=np.int32)
-            valid = np.zeros(b, dtype=bool)
-            wid[:w] = ids[i:i + w]
-            wvec[:w] = a[i:i + w]
-            wlvl[:w] = lvls[i:i + w]
-            valid[:w] = True
-            with profiler.phase(phase):
-                self._insert_wave(wid, wvec, wlvl, valid)
-            self._count_host += w
-            i += w
+        if i >= n:
+            return
+        # batch-wide host bookkeeping (previously per wave): the panel may
+        # hold future-wave ids — upper_connect_exact masks them out via
+        # `active` until their wave's scatter lands
+        if not dst.is_custom(self.metric):
+            self._panel_append(ids[i:][lvls[i:] >= 1])
+        hwm = np.maximum.accumulate(ids[i:]) + 1   # per-wave scan prefix
+        slab = max(512, self._SLAB_ROWS // max(1, self.dim // 128))
+        j = 0
+        while j < n - i:
+            ntot = min(slab, n - i - j)
+            npad = max(8, 1 << (ntot - 1).bit_length())  # bounded shapes
+            sl = slice(i + j, i + j + ntot)
+            dids = jnp.asarray(np.pad(ids[sl], (0, npad - ntot)))
+            dlvls = jnp.asarray(np.pad(lvls[sl], (0, npad - ntot)))
+            dvecs = jnp.asarray(np.pad(a[sl], ((0, npad - ntot), (0, 0))))
+            n_dev = jnp.asarray(ntot, jnp.int32)
+            cur = jnp.zeros((), jnp.int32)
+            k = 0
+            while k < ntot:
+                built = self._count_host
+                w = min(self.params.max_wave_size, max(1, built), ntot - k)
+                b = _bucket(w, WAVE_BUCKETS)
+                up_cnt = int(np.count_nonzero(
+                    lvls[i + j + k:i + j + k + w] >= 1))
+                self._scan_hwm = max(self._scan_hwm,
+                                     int(hwm[j + k + w - 1]))
+                with profiler.phase(phase):
+                    cur = self._insert_wave_dev(dids, dvecs, dlvls, cur,
+                                                n_dev, b, up_cnt)
+                self._count_host += w
+                k += w
+            j += ntot
 
     # -- upper-node panel (exact build path) ---------------------------
     # The panel is the device-resident compacted id list of every live
@@ -329,16 +359,24 @@ class HNSWIndex:
                 arr = arr.at[: self._upper_ids.shape[0]].set(self._upper_ids)
             self._upper_ids = arr
         # bucket the scatter lanes: an exact-size scatter would compile a
-        # fresh program for every distinct per-wave upper count
-        b = _bucket(n, UPPER_BUCKETS)
-        pos = np.full(b, 1 << 30, np.int64)      # OOB lanes drop
-        vals = np.full(b, -1, np.int32)
-        pos[:n] = np.arange(self._upper_cnt, need)
-        vals[:n] = ids.astype(np.int32)
-        self._upper_ids = self._upper_ids.at[jnp.asarray(pos)].set(
-            jnp.asarray(vals), mode="drop")
-        for p, x in zip(pos[:n], ids):
-            self._upper_pos[int(x)] = int(p)
+        # fresh program for every distinct upper count.  Batch-wide
+        # appends (one call per add() batch) can far exceed the per-wave
+        # ladder, so large appends chunk at the top bucket.
+        ladder = UPPER_BUCKETS + (8192, 65536)
+        done = 0
+        while done < n:
+            take = min(n - done, ladder[-1])
+            b = _bucket(take, ladder)
+            pos = np.full(b, 1 << 30, np.int64)  # OOB lanes drop
+            vals = np.full(b, -1, np.int32)
+            pos[:take] = np.arange(self._upper_cnt + done,
+                                   self._upper_cnt + done + take)
+            vals[:take] = ids[done:done + take].astype(np.int32)
+            self._upper_ids = self._upper_ids.at[jnp.asarray(pos)].set(
+                jnp.asarray(vals), mode="drop")
+            for p, x in zip(pos[:take], ids[done:done + take]):
+                self._upper_pos[int(x)] = int(p)
+            done += take
         self._upper_cnt = need
 
     def _panel_remove(self, ids: np.ndarray) -> None:
@@ -360,6 +398,44 @@ class HNSWIndex:
         self._scan_hwm = max(self._scan_hwm, node + 1)
         if not dst.is_custom(self.metric) and lvl >= 1:
             self._panel_append(np.asarray([node], np.int32))
+
+    def _insert_wave_dev(self, dids, dvecs, dlvls, cur, n_dev,
+                         bucket: int, up_cnt: int):
+        """Upload-free wave insert: slice the wave from the device-resident
+        batch (construct.wave_head), compact its upper members on device
+        (construct.upper_compact), then run the usual three phase programs.
+        Returns the advanced device cursor."""
+        from .core.construct import upper_compact, wave_head
+
+        cfg = self._cfg
+        use_exact = (self._count_host <= self.params.exact_build_threshold
+                     and not dst.is_custom(self.metric))
+        wid, wvec, wlvl, valid, cur = wave_head(
+            self._state.count, dids, dvecs, dlvls, cur, n_dev, bucket,
+            self.params.max_wave_size)
+        self._state = scatter_wave(cfg, self._state, wid, wvec, wlvl,
+                                   valid)
+        up_lanes = jnp.full((1,), -1, jnp.int32)
+        ue = jnp.full((1,), -1, jnp.int32)
+        if up_cnt:
+            bu = _bucket(up_cnt, UPPER_BUCKETS)
+            uid, ulvl, uval, lanes = upper_compact(wid, wlvl, valid, bu)
+            if use_exact:
+                self._state = upper_connect_exact(
+                    cfg, self._state, uid, ulvl, uval, self._upper_ids)
+            else:
+                self._state, ue = upper_connect(cfg, self._state, uid,
+                                                ulvl, uval)
+                up_lanes = lanes
+        if use_exact:
+            nscan = min(self._state.capacity,
+                        max(SCAN_FLOOR, _next_pow2(self._scan_hwm)))
+            self._state = base_connect_exact(
+                cfg, self._state, wid, wlvl, valid, nscan=nscan)
+        else:
+            self._state = base_connect(cfg, self._state, wid, wlvl, valid,
+                                       up_lanes, ue)
+        return cur
 
     def _insert_wave(self, wid, wvec, wlvl, valid) -> None:
         """Three-phase wave insert: scatter, narrow upper-layer connect,
