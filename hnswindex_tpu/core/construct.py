@@ -296,6 +296,35 @@ def upper_compact(wid, wlvl, valid, ubucket: int):
     return uid, ulvl, uval, lanes
 
 
+@partial(jax.jit, static_argnames=("cfg", "bucket", "ubucket", "max_wave",
+                                   "nscan"),
+         donate_argnames=("state",))
+def insert_wave_fused(cfg: GraphConfig, state: GraphState, dids, dvecs,
+                      dlvls, cur, n_total, panel_ids, bucket: int,
+                      ubucket: int, max_wave: int, nscan: int | None):
+    """One-launch exact-path wave insert: wave_head + scatter_wave +
+    upper_connect_exact + base_connect_exact composed into a single
+    device program.
+
+    Per-program-launch host latency through the tunneled backend runs
+    ~15-20 ms for programs carrying the full GraphState pytree (a bare
+    trivial-jit launch is ~0.7 ms), so the 4-launch wave paid ~60-80 ms
+    of pure launch cost on a 1-core host — the dominant per-wave cost
+    once per-wave uploads were eliminated.  ``ubucket == 0`` skips the
+    upper phase (the host knows each wave's upper count exactly).
+    Returns (state, cur')."""
+    wid, wvec, wlvl, valid, cur = wave_head(state.count, dids, dvecs,
+                                            dlvls, cur, n_total, bucket,
+                                            max_wave)
+    state = scatter_wave(cfg, state, wid, wvec, wlvl, valid)
+    if ubucket:
+        uid, ulvl, uval, _ = upper_compact(wid, wlvl, valid, ubucket)
+        state = upper_connect_exact(cfg, state, uid, ulvl, uval,
+                                    panel_ids)
+    state = base_connect_exact(cfg, state, wid, wlvl, valid, nscan=nscan)
+    return state, cur
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def scatter_wave(cfg: GraphConfig, state: GraphState, ids, vecs, lvls,
                  valid):

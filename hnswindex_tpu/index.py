@@ -407,9 +407,22 @@ class HNSWIndex:
         Returns the advanced device cursor."""
         from .core.construct import upper_compact, wave_head
 
+        from .core.construct import insert_wave_fused
+
         cfg = self._cfg
         use_exact = (self._count_host <= self.params.exact_build_threshold
                      and not dst.is_custom(self.metric))
+        if use_exact:
+            # one launch for the whole wave (launch latency through the
+            # relay dominates once per-wave uploads are gone)
+            nscan = min(self._state.capacity,
+                        max(SCAN_FLOOR, _next_pow2(self._scan_hwm)))
+            bu = _bucket(up_cnt, UPPER_BUCKETS) if up_cnt else 0
+            self._state, cur = insert_wave_fused(
+                cfg, self._state, dids, dvecs, dlvls, cur, n_dev,
+                self._upper_ids, bucket, bu, self.params.max_wave_size,
+                nscan)
+            return cur
         wid, wvec, wlvl, valid, cur = wave_head(
             self._state.count, dids, dvecs, dlvls, cur, n_dev, bucket,
             self.params.max_wave_size)
@@ -420,21 +433,11 @@ class HNSWIndex:
         if up_cnt:
             bu = _bucket(up_cnt, UPPER_BUCKETS)
             uid, ulvl, uval, lanes = upper_compact(wid, wlvl, valid, bu)
-            if use_exact:
-                self._state = upper_connect_exact(
-                    cfg, self._state, uid, ulvl, uval, self._upper_ids)
-            else:
-                self._state, ue = upper_connect(cfg, self._state, uid,
-                                                ulvl, uval)
-                up_lanes = lanes
-        if use_exact:
-            nscan = min(self._state.capacity,
-                        max(SCAN_FLOOR, _next_pow2(self._scan_hwm)))
-            self._state = base_connect_exact(
-                cfg, self._state, wid, wlvl, valid, nscan=nscan)
-        else:
-            self._state = base_connect(cfg, self._state, wid, wlvl, valid,
-                                       up_lanes, ue)
+            self._state, ue = upper_connect(cfg, self._state, uid,
+                                            ulvl, uval)
+            up_lanes = lanes
+        self._state = base_connect(cfg, self._state, wid, wlvl, valid,
+                                   up_lanes, ue)
         return cur
 
     def _insert_wave(self, wid, wvec, wlvl, valid) -> None:
