@@ -106,6 +106,11 @@ def main():
     # engine with device-resident waves; production hosts ingest over
     # PCIe at >10 GB/s where this ceiling is irrelevant).
     probe = np.zeros((1 << 21,), np.float32)  # 8 MB
+    # warm the consumer program on a device-resident array first: the
+    # earlier jnp.sum calls ran on int32, so an unwarmed f32 probe would
+    # fold a relay compile into the measured MB/s and falsely flag
+    # transfer-bound builds
+    np.asarray(jnp.sum(jnp.zeros((1 << 21,), jnp.float32)))
     t0 = time.perf_counter()
     np.asarray(jnp.sum(jnp.asarray(probe)))
     h2d = 8.0 / max(1e-9, time.perf_counter() - t0)

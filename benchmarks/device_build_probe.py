@@ -52,8 +52,8 @@ def main():
     idx.add(np.asarray(dvecs[:seed_n]))
 
     from hnswindex_tpu.core import graph as G
-    from hnswindex_tpu.index import WAVE_BUCKETS, SCAN_FLOOR, _bucket, \
-        _next_pow2
+    from hnswindex_tpu.index import UPPER_BUCKETS, WAVE_BUCKETS, \
+        SCAN_FLOOR, _bucket, _next_pow2
 
     # drive the production upload-free wave path (_insert_wave_dev) with
     # the batch already device-resident: ids/levels upload once (8 MB),
@@ -74,9 +74,14 @@ def main():
     t_half = None
     t0 = time.perf_counter()
     while i < n_rest:
-        w = min(W, max(1, idx._count_host), n_rest - i)
+        # mirror index._insert_batch's scheduler exactly (incl. the bucket
+        # and upper-ladder clamps)
+        w = min(W, WAVE_BUCKETS[-1], max(1, idx._count_host), n_rest - i)
+        upc = np.cumsum(lv[i:i + w] >= 1)
+        if w > UPPER_BUCKETS[-1] and upc[-1] > UPPER_BUCKETS[-1]:
+            w = int(np.searchsorted(upc, UPPER_BUCKETS[-1], side="right"))
         b = _bucket(w, WAVE_BUCKETS)
-        up_cnt = int(np.count_nonzero(lv[i:i + w] >= 1))
+        up_cnt = int(upc[w - 1]) if w else 0
         cur = idx._insert_wave_dev(dids, dbatch, dlvls, cur, n_dev, b,
                                    up_cnt)
         idx._count_host += w

@@ -25,9 +25,10 @@ from hnswindex_tpu import HNSWIndex, HNSWParameters
 
 T_START = time.time()
 BUDGET_S = float(os.environ.get("PROBE_BUDGET_S", "900"))
-# NOTE: HNSWIndex rounds capacity UP to the next power of 2
-# (index.py _next_pow2) — 8.4 * 2**20 would silently allocate a 2^24
-# (16.7M-row, 20.7 GB) state and OOM the chip.  "8.4M" means 2^23.
+# NOTE: capacities above 8192 round UP to the next 8192-row multiple
+# (index.py _alloc_capacity) — 8.4 * 2**20 would allocate ~8.81M rows,
+# which fits.  PCAP stays pinned to 8 << 20 so phase costs remain
+# comparable with the recorded 8M measurements (benchmarks/RESULTS.md).
 CAP = int(os.environ.get("PCAP", str(8 << 20)))
 SEED_N = int(os.environ.get("PSEED", str(256 * 1024)))
 DIM = 128

@@ -93,6 +93,46 @@ def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
     return sel.reshape(-1, max_deg)[:P], cnt.reshape(-1)[:P]
 
 
+#: Compact the overflow re-prune's row set before pruning.  The re-prune
+#: is the single largest wave cost (~45 of ~78 ms per 512-wave at 1M —
+#: benchmarks/RESULTS.md "standalone kernel attribution") and only the
+#: ~start_density * overflow fraction of the P pair lanes need work;
+#: compaction runs the whole prune chain (gather, pairwise einsum,
+#: argsorts, accept scan) at a fraction of the rows.  The fraction is the
+#: static lane budget as a multiple of P/8; a lax.cond falls back to the
+#: full-width prune on waves whose overflow count exceeds the budget.
+REVERSE_COMPACT_NUM = int(__import__("os").environ.get(
+    "HNSW_REVERSE_COMPACT_NUM", "4"))   # budget = P * NUM / 8; 0 disables
+
+
+def _prune_rows_compact(cfg: GraphConfig, vlo, norms, target_ids, cand_ids,
+                        mask, max_deg: int, budget: int):
+    """_prune_rows on the compacted ``mask`` rows (static ``budget``
+    lanes), scattered back to full width; falls back to the full-width
+    prune when more rows are masked than the budget holds.  Rows outside
+    ``mask`` return (-1 row, 0) either way."""
+    P = mask.shape[0]
+    if budget <= 0 or budget >= P:
+        return _prune_rows(cfg, vlo, norms, target_ids, cand_ids, mask,
+                           max_deg)
+    order = jnp.argsort(~mask, stable=True)
+    nt = jnp.sum(mask, dtype=jnp.int32)
+
+    def compacted(_):
+        take = order[:budget]
+        selc, cntc = _prune_rows(cfg, vlo, norms, target_ids[take],
+                                 cand_ids[take], mask[take], max_deg)
+        sel = jnp.full((P, max_deg), -1, jnp.int32).at[take].set(selc)
+        cnt = jnp.zeros((P,), jnp.int32).at[take].set(cntc)
+        return sel, cnt
+
+    def full(_):
+        return _prune_rows(cfg, vlo, norms, target_ids, cand_ids, mask,
+                           max_deg)
+
+    return lax.cond(nt <= budget, compacted, full, None)
+
+
 def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
                  mask, max_deg: int):
     """Add back-edges v -> u for every forward edge u -> v in the wave.
@@ -190,7 +230,9 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     w_ok = (jnp.arange(A)[None, :] < jnp.minimum(gcnt, A)[:, None]) \
         & over_row[:, None]
     cand = jnp.concatenate([ex, jnp.where(w_ok, wu, -1)], axis=1)  # (P, K+A)
-    sel2, cnt2 = _prune_rows(cfg, vlo, norms, sv, cand, over_row, max_deg)
+    budget = (P * REVERSE_COMPACT_NUM) // 8
+    sel2, cnt2 = _prune_rows_compact(cfg, vlo, norms, sv, cand, over_row,
+                                     max_deg, budget)
     sel2pad = jnp.full((P, K), -1, jnp.int32).at[:, :max_deg].set(sel2)
 
     final_row = jnp.where(over_row[:, None], sel2pad, newrow)
@@ -249,20 +291,23 @@ def _connect_at_layer(cfg: GraphConfig, state: GraphState, layer, ids, vecs,
     return nbr_l, deg_l, entry
 
 
-@partial(jax.jit, static_argnames=("bucket", "max_wave"))
+@partial(jax.jit, static_argnames=("bucket", "max_wave", "max_up"))
 def wave_head(count, dids, dvecs, dlvls, cur, n_total, bucket: int,
-              max_wave: int):
+              max_wave: int, max_up: int = 1 << 30):
     """Compute the next insert wave's lanes ENTIRELY on device.
 
     ``dids/dvecs/dlvls`` are the whole add() batch, uploaded once;
     ``cur`` is a device cursor and ``n_total`` a device scalar of the
     batch's true length.  The wave width replicates the host scheduler's
-    formula (w = min(max_wave, max(1, built), remaining); the host picks
-    the static ``bucket`` from its exact mirror of the same quantities),
-    so zero per-wave host->device uploads are needed — through a
-    tunneled backend each upload costs 30-130 ms of latency, which was
-    the dominant per-wave cost (a 512-wave's 4 uploads capped builds at
-    ~5.5k inserts/s at ANY corpus size).
+    formula (w = min(max_wave, max(1, built), remaining), further bounded
+    so at most ``max_up`` level>=1 members land in one wave — the upper
+    connect's lane ladder is static and silently truncating overflow
+    members would cost them their upper edges; the host picks the static
+    ``bucket`` from its exact mirror of the same quantities), so zero
+    per-wave host->device uploads are needed — through a tunneled backend
+    each upload costs 30-130 ms of latency, which was the dominant
+    per-wave cost (a 512-wave's 4 uploads capped builds at ~5.5k
+    inserts/s at ANY corpus size).
 
     Returns (wid, wvec, wlvl, valid, cur') shaped to ``bucket``."""
     D = dvecs.shape[1]
@@ -272,8 +317,14 @@ def wave_head(count, dids, dvecs, dlvls, cur, n_total, bucket: int,
                     remaining)
     w = jnp.minimum(w, bucket)
     lane = jnp.arange(bucket, dtype=jnp.int32)
-    valid = lane < w
     safe = jnp.clip(cur + lane, 0, n - 1)
+    valid = lane < w
+    if max_up < bucket:
+        # prefix cap on level>=1 members: cumsum is nondecreasing, so the
+        # cap keeps the wave a contiguous prefix of the batch
+        upcum = jnp.cumsum((dlvls[safe] >= 1).astype(jnp.int32))
+        valid = valid & (upcum <= max_up)
+        w = jnp.sum(valid, dtype=jnp.int32)
     wid = jnp.where(valid, dids[safe], -1)
     wlvl = jnp.where(valid, dlvls[safe], 0)
     wvec = jnp.where(valid[:, None], dvecs[safe], 0.0).astype(jnp.float32)
@@ -297,11 +348,12 @@ def upper_compact(wid, wlvl, valid, ubucket: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "bucket", "ubucket", "max_wave",
-                                   "nscan"),
+                                   "nscan", "max_up"),
          donate_argnames=("state",))
 def insert_wave_fused(cfg: GraphConfig, state: GraphState, dids, dvecs,
                       dlvls, cur, n_total, panel_ids, bucket: int,
-                      ubucket: int, max_wave: int, nscan: int | None):
+                      ubucket: int, max_wave: int, nscan: int | None,
+                      max_up: int = 1 << 30):
     """One-launch exact-path wave insert: wave_head + scatter_wave +
     upper_connect_exact + base_connect_exact composed into a single
     device program.
@@ -315,13 +367,43 @@ def insert_wave_fused(cfg: GraphConfig, state: GraphState, dids, dvecs,
     Returns (state, cur')."""
     wid, wvec, wlvl, valid, cur = wave_head(state.count, dids, dvecs,
                                             dlvls, cur, n_total, bucket,
-                                            max_wave)
+                                            max_wave, max_up)
     state = scatter_wave(cfg, state, wid, wvec, wlvl, valid)
     if ubucket:
         uid, ulvl, uval, _ = upper_compact(wid, wlvl, valid, ubucket)
         state = upper_connect_exact(cfg, state, uid, ulvl, uval,
                                     panel_ids)
     state = base_connect_exact(cfg, state, wid, wlvl, valid, nscan=nscan)
+    return state, cur
+
+
+@partial(jax.jit, static_argnames=("cfg", "bucket", "ubucket", "max_wave",
+                                   "max_up"),
+         donate_argnames=("state",))
+def insert_wave_beam_fused(cfg: GraphConfig, state: GraphState, dids,
+                           dvecs, dlvls, cur, n_total, bucket: int,
+                           ubucket: int, max_wave: int,
+                           max_up: int = 1 << 30):
+    """One-launch *beam-path* wave insert: wave_head + scatter_wave +
+    upper_compact + upper_connect + base_connect composed into a single
+    device program — the upload-free twin of ``insert_wave_fused`` for
+    custom metrics and corpora past the exact-build threshold.  The
+    sharded index drains every shard's wave through this program inside
+    one shard_map launch (per-wave host->device uploads cost 30-130 ms
+    through a tunneled backend; see wave_head).  ``ubucket == 0`` skips
+    the upper phase (the host mirrors each wave's upper count exactly).
+    Returns (state, cur')."""
+    wid, wvec, wlvl, valid, cur = wave_head(state.count, dids, dvecs,
+                                            dlvls, cur, n_total, bucket,
+                                            max_wave, max_up)
+    state = scatter_wave(cfg, state, wid, wvec, wlvl, valid)
+    up_lanes = jnp.full((1,), -1, jnp.int32)
+    ue = jnp.full((1,), -1, jnp.int32)
+    if ubucket:
+        uid, ulvl, uval, lanes = upper_compact(wid, wlvl, valid, ubucket)
+        state, ue = upper_connect(cfg, state, uid, ulvl, uval)
+        up_lanes = lanes
+    state = base_connect(cfg, state, wid, wlvl, valid, up_lanes, ue)
     return state, cur
 
 

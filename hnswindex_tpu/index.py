@@ -292,10 +292,19 @@ class HNSWIndex:
             k = 0
             while k < ntot:
                 built = self._count_host
-                w = min(self.params.max_wave_size, max(1, built), ntot - k)
+                # mirror wave_head EXACTLY: clamp to the static bucket
+                # ladder top (an unclamped host width silently dropped the
+                # tail of any wave wider than WAVE_BUCKETS[-1]) and bound
+                # the wave's level>=1 members at the upper-lane ladder top
+                # (overflow members would silently lose their upper edges)
+                w = min(self.params.max_wave_size, WAVE_BUCKETS[-1],
+                        max(1, built), ntot - k)
+                upc = np.cumsum(lvls[i + j + k:i + j + k + w] >= 1)
+                if w > UPPER_BUCKETS[-1] and upc[-1] > UPPER_BUCKETS[-1]:
+                    w = int(np.searchsorted(upc, UPPER_BUCKETS[-1],
+                                            side="right"))
                 b = _bucket(w, WAVE_BUCKETS)
-                up_cnt = int(np.count_nonzero(
-                    lvls[i + j + k:i + j + k + w] >= 1))
+                up_cnt = int(upc[w - 1]) if w else 0
                 self._scan_hwm = max(self._scan_hwm,
                                      int(hwm[j + k + w - 1]))
                 with profiler.phase(phase):
@@ -410,6 +419,8 @@ class HNSWIndex:
         from .core.construct import insert_wave_fused
 
         cfg = self._cfg
+        mw = min(self.params.max_wave_size, WAVE_BUCKETS[-1])
+        mu = UPPER_BUCKETS[-1]
         use_exact = (self._count_host <= self.params.exact_build_threshold
                      and not dst.is_custom(self.metric))
         if use_exact:
@@ -420,12 +431,11 @@ class HNSWIndex:
             bu = _bucket(up_cnt, UPPER_BUCKETS) if up_cnt else 0
             self._state, cur = insert_wave_fused(
                 cfg, self._state, dids, dvecs, dlvls, cur, n_dev,
-                self._upper_ids, bucket, bu, self.params.max_wave_size,
-                nscan)
+                self._upper_ids, bucket, bu, mw, nscan, mu)
             return cur
         wid, wvec, wlvl, valid, cur = wave_head(
             self._state.count, dids, dvecs, dlvls, cur, n_dev, bucket,
-            self.params.max_wave_size)
+            mw, mu)
         self._state = scatter_wave(cfg, self._state, wid, wvec, wlvl,
                                    valid)
         up_lanes = jnp.full((1,), -1, jnp.int32)

@@ -50,14 +50,18 @@ except ImportError:  # pragma: no cover
 
 from ..core import graph as G
 from ..core import stats
-from ..core.construct import insert_wave
+from ..core.construct import insert_wave_beam_fused, insert_wave_fused
 from ..core.search import beam_search, greedy_descent, knn_search, \
     range_search
+from ..index import SCAN_FLOOR, UPPER_BUCKETS, WAVE_BUCKETS, _bucket, \
+    _next_pow2
 from ..ops import distance as dst
 from ..params import HNSWParameters
 from ..utils.refine import refine_pairs
 
 RANGE_POOLS = (64, 512, 4096)
+#: floor of the per-shard upper-panel width ladder (bounds recompiles)
+_SPANEL_MIN = 1024
 
 
 def _squeeze(tree):
@@ -113,6 +117,12 @@ class ShardedIndex:
         self._fns = {}                  # compiled SPMD program cache
         self._host_vectors: Optional[np.ndarray] = None
         self._pack = None               # stacked per-shard QueryPack
+        # per-shard live level>=1 local slots (exact-path upper panel,
+        # construct.upper_connect_exact); host-owned, shipped to the mesh
+        # once per drain — never per wave
+        self._upper_set: List[set] = [set() for _ in range(self.n_shards)]
+        self._shwm = 0                  # slot high-water mark (scan prefix)
+        self._wave_trace: Optional[list] = None   # test hook: per-wave widths
 
     # ------------------------------------------------------------------
     # internals
@@ -173,21 +183,37 @@ class ShardedIndex:
     # construction
     # ------------------------------------------------------------------
 
-    def _wave_fn(self, W: int):
+    def _fused_wave_fn(self, exact: bool, bucket: int, ubucket: int,
+                       nscan: int, mw: int, mu: int):
+        """One SPMD launch running every shard's fused wave: exact MXU
+        candidates (construct.insert_wave_fused — the single-chip build's
+        decisive quality/speed win, VERDICT r2 #1) or the fused beam twin
+        for custom metrics / past the exact threshold.  All wave lanes
+        come from device cursors over the pre-uploaded slab: zero
+        per-wave host->device arguments."""
         cfg = self._cfg
 
         def build():
-            def run(st, ids, vecs, lvls, valid):
+            def run(st, dids, dvecs, dlvls, cur, ntot, panel):
                 local = _squeeze(st)
-                out = insert_wave(cfg, local, ids[0], vecs[0], lvls[0],
-                                  valid[0])
-                return _expand(out)
+                if exact:
+                    out, c2 = insert_wave_fused(
+                        cfg, local, dids[0], dvecs[0], dlvls[0], cur[0],
+                        ntot[0], panel[0], bucket, ubucket, mw, nscan, mu)
+                else:
+                    out, c2 = insert_wave_beam_fused(
+                        cfg, local, dids[0], dvecs[0], dlvls[0], cur[0],
+                        ntot[0], bucket, ubucket, mw, mu)
+                return _expand(out), c2[None]
 
-            specs = (self._state_specs(),
+            specs = (self._state_specs(), P("shard"), P("shard"),
                      P("shard"), P("shard"), P("shard"), P("shard"))
-            return jax.jit(_shard_map(run, self.mesh, specs,
-                                      self._state_specs()))
-        return self._cached(("wave", W), build)
+            return jax.jit(
+                _shard_map(run, self.mesh, specs,
+                           (self._state_specs(), P("shard"))),
+                donate_argnums=(0,))
+        return self._cached(("fwave", exact, bucket, ubucket, nscan, mw,
+                             mu), build)
 
     def add(self, vecs) -> np.ndarray:
         """Round-robin shard assignment + per-shard insert waves run as one
@@ -242,40 +268,130 @@ class ShardedIndex:
                                       int(slots[j]), a[j], int(lvls_all[j]))
             self._set_local(s, local)
             self._seeded[s] = True
+            if lvls_all[j] >= 1:
+                self._upper_set[s].add(int(slots[j]))
             shard_of[j] = -1  # consumed
 
-        queues = [list(np.flatnonzero(shard_of == s)) for s in range(S)]
+        queues = [np.flatnonzero(shard_of == s) for s in range(S)]
         self._drain_waves(queues, slots, a, lvls_all)
         return gids
 
-    def _drain_waves(self, queues, slot_of, vecs, lvls) -> None:
-        """Run per-shard insert queues through the SPMD wave program with
-        the same doubling schedule as the single-chip index: a shard
-        holding b nodes accepts at most b new items per wave, so early
-        waves stay small and graph quality holds.  ``queues[s]`` holds
-        indices j into ``slot_of``/``vecs``/``lvls``; consumed in place."""
+    def _panel_device(self) -> jnp.ndarray:
+        """(S, Cu) device panel of per-shard level>=1 local slots for
+        construct.upper_connect_exact; -1 pads.  Width is a power-of-2
+        ladder (floor _SPANEL_MIN) so the exact upper scan recompiles only
+        on doublings.  Stale members (removed / not yet inserted) are
+        masked on device via ``active``/``level``, exactly like the
+        single-chip batch-wide panel (index._panel_append)."""
         S = self.n_shards
-        built = np.array([max(1, self._counts[s] - len(queues[s]))
-                          for s in range(S)], dtype=np.int64)
-        Wmax = max(1, self.params.max_wave_size // S)
-        wave_fn = self._wave_fn(Wmax)
-        while any(queues):
-            ids_w = np.full((S, Wmax), -1, np.int32)
-            vec_w = np.zeros((S, Wmax, self.dim), np.float32)
-            lvl_w = np.zeros((S, Wmax), np.int32)
-            val_w = np.zeros((S, Wmax), bool)
+        width = max(_SPANEL_MIN,
+                    _next_pow2(max(1, max(len(u) for u in self._upper_set))))
+        arr = np.full((S, width), -1, np.int32)
+        for s, ups in enumerate(self._upper_set):
+            if ups:
+                arr[s, :len(ups)] = np.fromiter(ups, np.int32, len(ups))
+        return jnp.asarray(arr)
+
+    def _drain_waves(self, queues, slot_of, vecs, lvls) -> None:
+        """Run per-shard insert queues through ONE fused SPMD wave program
+        per wave, with the single-chip engine's two decisive build wins
+        ported to the mesh (VERDICT r2 #1):
+
+        * **exact MXU candidates** — below params.exact_build_threshold
+          each shard's wave connects from exact brute-force candidates
+          (construct.insert_wave_fused), not beam candidates; past the
+          threshold the fused beam twin runs instead;
+        * **upload-free waves** — each shard's whole queue is uploaded
+          once per slab and every wave's lanes are sliced ON DEVICE from
+          per-shard cursors (construct.wave_head).  Zero per-wave
+          host->device arguments: through a tunneled backend each upload
+          costs 30-130 ms, which capped the old per-wave-upload drain at
+          ~5.5k inserts/s at any corpus size.
+
+        The host mirrors the device scheduler exactly (it owns counts and
+        levels) under the same doubling throttle as the single-chip index:
+        a shard holding b nodes accepts at most b items per wave, so early
+        waves stay small and graph quality holds.  ``queues[s]`` holds
+        indices j into ``slot_of``/``vecs``/``lvls``."""
+        S = self.n_shards
+        C = self.shard_capacity
+        queues = [np.asarray(q, dtype=np.int64) for q in queues]
+        nq = np.array([q.size for q in queues], dtype=np.int64)
+        if nq.sum() == 0:
+            return
+        exactable = not dst.is_custom(self.metric)
+        if exactable:
             for s in range(S):
-                w = int(min(Wmax, built[s], len(queues[s])))
-                take = np.asarray(queues[s][:w], dtype=np.int64)
-                queues[s] = queues[s][w:]
-                built[s] += take.size
-                ids_w[s, :take.size] = slot_of[take]
-                vec_w[s, :take.size] = vecs[take]
-                lvl_w[s, :take.size] = lvls[take]
-                val_w[s, :take.size] = True
-            self._state = wave_fn(self._state, jnp.asarray(ids_w),
-                                  jnp.asarray(vec_w), jnp.asarray(lvl_w),
-                                  jnp.asarray(val_w))
+                if nq[s]:
+                    ups = slot_of[queues[s]][lvls[queues[s]] >= 1]
+                    self._upper_set[s].update(int(x) for x in ups)
+        panel = self._panel_device() if exactable \
+            else jnp.zeros((S, 1), jnp.int32)
+        mw = min(max(1, self.params.max_wave_size // S), WAVE_BUCKETS[-1])
+        mu = UPPER_BUCKETS[-1]
+        thresh = self.params.exact_build_threshold
+        built = self._counts - nq              # live-count mirror per shard
+        rem = nq.copy()
+        done = np.zeros(S, dtype=np.int64)     # consumed per shard
+        slab = max(512, (1 << 29) // max(1, S * self.dim * 4))
+        while rem.any():
+            take = np.minimum(rem, slab)
+            npad = max(8, 1 << int(max(1, take.max()) - 1).bit_length())
+            ids_h = np.zeros((S, npad), np.int32)
+            lvl_h = np.zeros((S, npad), np.int32)
+            vec_h = np.zeros((S, npad, self.dim), np.float32)
+            hwm_h = np.zeros((S, npad), np.int64)  # per-wave scan prefix
+            for s in range(S):
+                t = int(take[s])
+                if t == 0:
+                    continue
+                q = queues[s][done[s]:done[s] + t]
+                ids_h[s, :t] = slot_of[q]
+                lvl_h[s, :t] = lvls[q]
+                vec_h[s, :t] = vecs[q]
+                hwm_h[s, :t] = np.maximum.accumulate(slot_of[q]) + 1
+                hwm_h[s, t:] = hwm_h[s, t - 1]
+            # ONE upload per slab; all waves below slice it via cursors
+            dids = jnp.asarray(ids_h)
+            dlvls = jnp.asarray(lvl_h)
+            dvecs = jnp.asarray(vec_h)
+            ntot = jnp.asarray(take.astype(np.int32))
+            cur = jnp.zeros((S,), jnp.int32)
+            k = np.zeros(S, dtype=np.int64)    # host cursor mirror
+            srem = take.copy()
+            while srem.any():
+                w = np.minimum(np.minimum(mw, np.maximum(1, built)), srem)
+                upcnt = np.zeros(S, dtype=np.int64)
+                for s in range(S):
+                    if w[s] == 0:
+                        continue
+                    upc = np.cumsum(lvl_h[s, k[s]:k[s] + w[s]] >= 1)
+                    if w[s] > mu and upc[-1] > mu:
+                        # wave_head's prefix cap on level>=1 members
+                        w[s] = int(np.searchsorted(upc, mu, side="right"))
+                    upcnt[s] = upc[w[s] - 1]
+                bucket = _bucket(int(w.max()), WAVE_BUCKETS)
+                bu = _bucket(int(upcnt.max()), UPPER_BUCKETS) \
+                    if upcnt.any() else 0
+                exact = exactable and int(built.max()) <= thresh
+                nscan = 0
+                if exact:
+                    hw = max(int(hwm_h[s, k[s] + w[s] - 1])
+                             for s in range(S) if w[s]) \
+                        if w.any() else 1
+                    self._shwm = max(self._shwm, hw)
+                    nscan = min(C, max(SCAN_FLOOR,
+                                       _next_pow2(self._shwm)))
+                if self._wave_trace is not None:
+                    self._wave_trace.append(w.copy())
+                fn = self._fused_wave_fn(exact, bucket, bu, nscan, mw, mu)
+                self._state, cur = fn(self._state, dids, dvecs, dlvls,
+                                      cur, ntot, panel)
+                built += w
+                srem -= w
+                k += w
+            rem -= take
+            done += take
 
     # ------------------------------------------------------------------
     # queries
@@ -788,6 +904,7 @@ class ShardedIndex:
             self._set_local(int(s), local)
             self._free[int(s)].extend(int(x) for x in mine)
             self._counts[int(s)] -= mine.size
+            self._upper_set[int(s)].difference_update(int(x) for x in mine)
 
     def update(self, gids, vecs) -> None:
         """Replace stored vectors keeping their global ids (remove +
@@ -834,6 +951,8 @@ class ShardedIndex:
                     int(lvls[j]))
                 self._set_local(s, local)
                 self._seeded[s] = True
+                if lvls[j] >= 1:
+                    self._upper_set[s].add(int(slot_of[j]))
         self._drain_waves(queues, slot_of, a, lvls)
 
     # ------------------------------------------------------------------
@@ -1002,4 +1121,11 @@ class ShardedIndex:
         idx._free = [list(f) for f in header.get(
             "free", [[] for _ in range(S)])]
         idx._seeded = np.asarray(header["seeded"], bool)
+        idx._shwm = int(idx._lengths.max()) if S else 0
+        # rebuild the per-shard upper panels from the loaded levels (the
+        # arrays are host-resident numpy here — no device readback)
+        live_up = np.asarray(arrays["active"]) & \
+            (np.asarray(arrays["level"]) >= 1)
+        idx._upper_set = [set(np.flatnonzero(live_up[s]).tolist())
+                          for s in range(S)]
         return idx

@@ -123,3 +123,5 @@ class HNSWParameters:
             raise ValueError("collection_size must be >= 1")
         if self.distribution_rate < 0:
             raise ValueError("distribution_rate must be >= 0")
+        if self.max_wave_size < 1:
+            raise ValueError("max_wave_size must be >= 1")

@@ -264,21 +264,10 @@ def test_sharded_bulk_update_waves_throttled():
     idx = ShardedIndex(DIM, parameters=p, devices=devices)
     gids = idx.add(vecs)
 
-    sizes = []
-    orig = idx._wave_fn
-
-    def spying(Wmax):
-        fn = orig(Wmax)
-
-        def wrapped(st, ids_w, vec_w, lvl_w, val_w):
-            sizes.append(np.asarray(val_w).sum(axis=1))   # per-shard widths
-            return fn(st, ids_w, vec_w, lvl_w, val_w)
-        return wrapped
-
-    idx._wave_fn = spying
+    idx._wave_trace = []                   # _drain_waves records widths
     new_vals = rng.random((240, DIM), dtype=np.float32)
     idx.update(gids, new_vals)
-    idx._wave_fn = orig
+    sizes, idx._wave_trace = idx._wave_trace, None
 
     assert sizes, "update issued no waves"
     per_shard = np.stack(sizes)            # (waves, S)
@@ -483,3 +472,92 @@ def test_sharded_callable_filter_lazy():
         for g, dist in zip(row, dd):
             assert hv[g // C, g % C][0] > 0.5
             assert dist <= 4.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_build_recall_parity_with_single_chip():
+    """VERDICT r3 #1 done-criterion: the mesh build uses the same exact
+    MXU candidate path as the single-chip engine, so at equal parameters
+    its graph recall must match the single-chip build (each shard solves
+    a smaller exact subproblem — no beam-quality regression allowed)."""
+    from hnswindex_tpu import HNSWIndex
+
+    devices = jax.devices()[:4]
+    rng = np.random.default_rng(1234)
+    n, k = 800, 10
+    # clustered corpus: the regime where beam-vs-exact candidates differ
+    centers = rng.normal(size=(8, DIM)).astype(np.float32) * 2.0
+    vecs = (centers[rng.integers(0, 8, n)]
+            + rng.normal(size=(n, DIM)).astype(np.float32))
+    q = (centers[rng.integers(0, 8, 64)]
+         + rng.normal(size=(64, DIM)).astype(np.float32))
+
+    p = HNSWParameters(collection_size=n, max_wave_size=128, random_seed=9)
+    sh = ShardedIndex(DIM, parameters=p, devices=devices)
+    sg = sh.add(vecs)
+    si, _ = sh.knn_query(q, k=k)
+
+    single = HNSWIndex(DIM, parameters=p)
+    ug = single.add(vecs)
+    ui, _ = single.knn_query(q, k=k)
+
+    d_all = ((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    truth = np.argsort(d_all, axis=1)[:, :k]
+    pos_s = {int(g): j for j, g in enumerate(sg)}
+    pos_u = {int(g): j for j, g in enumerate(ug)}
+    rec_s = np.mean([len({pos_s[int(g)] for g in row if g >= 0}
+                         & set(t.tolist())) / k
+                     for row, t in zip(si, truth)])
+    rec_u = np.mean([len({pos_u[int(g)] for g in row if g >= 0}
+                         & set(t.tolist())) / k
+                     for row, t in zip(ui, truth)])
+    assert rec_s >= rec_u - 0.03, (rec_s, rec_u)
+    assert rec_s > 0.9, rec_s
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_waves_are_upload_free(monkeypatch):
+    """VERDICT r3 #1 done-criterion: zero per-wave host->device
+    arguments.  Host->device transfers during a drain must scale with the
+    slab count, not the wave count (each upload costs 30-130 ms through
+    a tunneled backend)."""
+    import hnswindex_tpu.parallel.sharded as SH
+
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(77)
+    n = 512
+    vecs = rng.random((n, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=n, max_wave_size=16)  # many waves
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+
+    uploads = []
+    real = SH.jnp.asarray
+    active = []
+
+    def counting(x, *a, **kw):
+        if active:
+            uploads.append(1)
+        return real(x, *a, **kw)
+
+    orig_drain = idx._drain_waves
+
+    def drain(*a, **kw):
+        active.append(1)
+        try:
+            return orig_drain(*a, **kw)
+        finally:
+            active.pop()
+
+    monkeypatch.setattr(SH.jnp, "asarray", counting)
+    monkeypatch.setattr(idx, "_drain_waves", drain)
+    idx._wave_trace = []
+    idx.add(vecs)
+    waves = len(idx._wave_trace)
+    idx._wave_trace = None
+    monkeypatch.undo()
+
+    assert waves > 10, waves       # the throttle must actually wave
+    # one slab: ids/levels/vectors/ntot + one upper panel (+ tiny consts);
+    # strictly wave-count independent
+    assert len(uploads) <= 8, (len(uploads), waves)
+    assert len(uploads) < waves
