@@ -53,8 +53,8 @@ from ..core import stats
 from ..core.construct import insert_wave_beam_fused, insert_wave_fused
 from ..core.search import beam_search, greedy_descent, knn_search, \
     range_search
-from ..index import SCAN_FLOOR, UPPER_BUCKETS, WAVE_BUCKETS, _bucket, \
-    _next_pow2
+from ..index import MIRROR_MAX_BYTES, SCAN_FLOOR, UPPER_BUCKETS, \
+    WAVE_BUCKETS, _bucket, _next_pow2
 from ..ops import distance as dst
 from ..params import HNSWParameters
 from ..utils.refine import refine_pairs
@@ -138,11 +138,93 @@ class ShardedIndex:
         self._host_vectors = None
         self._pack = None
 
+    def _mirrorable(self) -> bool:
+        """Host-mirror budget gate (the single-chip MIRROR_MAX_BYTES
+        contract, VERDICT r3 #3): above it refinement and row fetches run
+        on device and only (B, k)-sized results cross the link — at the
+        100M north star the full mirror is a ~50 GB transfer through a
+        10-18 MB/s relay."""
+        return (self.n_shards * self.shard_capacity * self.dim * 4
+                <= MIRROR_MAX_BYTES)
+
     def _host_vecs(self) -> np.ndarray:
-        """(S, C, D) host mirror of stored vectors for f64 refinement."""
+        """(S, C, D) host mirror of stored vectors for f64 refinement.
+        Only valid under the mirror budget — callers must gate on
+        _mirrorable() (or go through _rows_global)."""
         if self._host_vectors is None:
             self._host_vectors = np.asarray(self._state.vectors)
         return self._host_vectors
+
+    def _rows_fn(self, B: int):
+        """(B,) global ids -> (B, D) stored vectors, gathered on the mesh:
+        each shard contributes its owned lanes, psum merges (every lane is
+        owned by at most one shard)."""
+        C = self.shard_capacity
+
+        def build():
+            def run(st, gids):
+                local = _squeeze(st)
+                sid = lax.axis_index("shard").astype(jnp.int32)
+                own = (gids >= 0) & ((gids // C) == sid)
+                lid = jnp.clip(gids % C, 0, C - 1)
+                rows = jnp.where(own[:, None], local.vectors[lid], 0.0)
+                return lax.psum(rows, "shard")[None]
+
+            specs = (self._state_specs(), P())
+            return jax.jit(_shard_map(run, self.mesh, specs, P("shard")))
+        return self._cached(("rows", B), build)
+
+    def _rows_global(self, gids) -> np.ndarray:
+        """(B, D) stored vectors for a (small) global-id set — host mirror
+        when affordable, device gather + (B, D) transfer otherwise (the
+        single-chip HNSWIndex._rows contract)."""
+        g = np.asarray(gids, np.int64).ravel()
+        g = np.clip(g, 0, self.n_shards * self.shard_capacity - 1)
+        if self._mirrorable():
+            hv = self._host_vecs()
+            C = self.shard_capacity
+            return hv[g // C, g % C]
+        B = max(8, _next_pow2(g.size))
+        pad = np.full(B, -1, np.int64)
+        pad[:g.size] = g
+        fn = self._rows_fn(B)
+        out = np.asarray(fn(self._state, jnp.asarray(pad, jnp.int32)))
+        return out[0, :g.size]
+
+    def _refine_fn(self, W: int):
+        """Device-side refine program: per-shard owned-lane direct-formula
+        distances, cross-shard min (each lane owned by <= 1 shard), full
+        argsort — only the sorted (B, W) ids/distances cross the link."""
+        C = self.shard_capacity
+        metric = self.metric
+
+        def build():
+            def run(st, q, gids):
+                local = _squeeze(st)
+                sid = lax.axis_index("shard").astype(jnp.int32)
+                own = (gids >= 0) & ((gids // C) == sid)
+                lid = jnp.clip(gids % C, 0, C - 1)
+                vv = local.vectors[lid]                       # (B, W, D)
+                d = dst.exact(metric, q[:, None, :],
+                              vv).astype(jnp.float32)
+                # each lane is owned by at most one shard: psum of the
+                # owned contribution merges, unowned lanes turn to +inf
+                d = lax.psum(jnp.where(own, d, 0.0), "shard") \
+                    + jnp.where(lax.psum(own.astype(jnp.float32),
+                                         "shard") > 0, 0.0, jnp.inf)
+                return d[None]
+
+            def refine(st, q, gids):
+                d = _shard_map(run, self.mesh,
+                               (self._state_specs(), P(), P()),
+                               P("shard"))(st, q, gids)[0]    # (B, W)
+                order = jnp.argsort(d, axis=1, stable=True)
+                oi = jnp.take_along_axis(gids, order, axis=1)
+                od = jnp.take_along_axis(d, order, axis=1)
+                return oi.astype(jnp.int32), od
+
+            return jax.jit(refine)
+        return self._cached(("refine", W), build)
 
     def _local(self, s: int):
         """One shard's state slice (host-driven per-shard ops)."""
@@ -157,11 +239,34 @@ class ShardedIndex:
 
     def _refine_global(self, q: np.ndarray, gids: np.ndarray, k: int
                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Re-rank candidate global ids with the direct metric formula:
+        float64 against the host mirror while the corpus fits the mirror
+        budget, direct-f32 on the mesh beyond it (only the sorted (B, W)
+        pairs cross the link — see utils/refine docstring)."""
         C = self.shard_capacity
-        hv = self._host_vecs()
-        g = np.clip(gids, 0, self.n_shards * C - 1)
-        cand = hv[g // C, g % C]
-        return refine_pairs(self.metric, q, gids, cand, k)
+        gids = np.asarray(gids)
+        if self._mirrorable():
+            hv = self._host_vecs()
+            g = np.clip(gids, 0, self.n_shards * C - 1)
+            cand = hv[g // C, g % C]
+            return refine_pairs(self.metric, q, gids, cand, k)
+        B, W = gids.shape
+        Wp = max(8, _next_pow2(W))
+        pad = np.full((B, Wp), -1, np.int64)
+        pad[:, :W] = gids
+        fn = self._refine_fn(Wp)
+        oi, od = fn(self._state, jnp.asarray(q, jnp.float32),
+                    jnp.asarray(pad, jnp.int32))
+        out_ids = np.asarray(oi)[:, :k]
+        out_d = np.asarray(od)[:, :k].astype(np.float32)
+        if out_ids.shape[1] < k:            # fewer candidates than k
+            padk = k - out_ids.shape[1]
+            out_ids = np.pad(out_ids, ((0, 0), (0, padk)),
+                             constant_values=-1)
+            out_d = np.pad(out_d, ((0, 0), (0, padk)),
+                           constant_values=np.nan)
+        return (out_ids.astype(np.int32),
+                np.where(out_ids >= 0, out_d, np.nan))
 
     def _global_filter_mask(self, filter_fnc) -> Optional[jnp.ndarray]:
         """(S, C) bool mask from global ids / bool array.  Callable
@@ -452,7 +557,11 @@ class ShardedIndex:
         S = self.n_shards
         C = self.shard_capacity
         K = self._state.nbr0.shape[2]
-        if PK.pack_bytes(C, K, self.dim) > self.params.pack_max_bytes:
+        # the budget (and hence the dtype resolution) applies PER SHARD —
+        # each device holds its own pack slice
+        from ..index import resolve_pack_dtype
+        res_dtype = resolve_pack_dtype(self.params, C, K, self.dim)
+        if res_dtype is None:
             return None
         # per-shard entry set: smallest upper level whose population fits
         # the flat MXU entry scan (HNSWIndex._get_pack semantics).  level
@@ -478,24 +587,25 @@ class ShardedIndex:
         table = np.full((S, E), -1, np.int64)
         for s, e in enumerate(ents):
             table[s, :e.size] = e
-        self._pack = self._pack_build_fn()(
+        self._pack = self._pack_build_fn(res_dtype)(
             self._state, jnp.asarray(table, jnp.int32))
         return self._pack
 
-    def _pack_build_fn(self):
+    def _pack_build_fn(self, res_dtype=jnp.bfloat16):
         cfg = self._cfg
         from ..core import pack as PK
 
         def build():
             def run(st, ents):
                 local = _squeeze(st)
-                return _expand(PK.make_query_pack(cfg, local, ents[0]))
+                return _expand(PK.make_query_pack(cfg, local, ents[0],
+                                                  res_dtype))
 
             specs = (self._state_specs(), P("shard"))
             out_specs = PK.QueryPack(
                 *(P("shard") for _ in PK.QueryPack._fields))
             return jax.jit(_shard_map(run, self.mesh, specs, out_specs))
-        return self._cached(("packbuild",), build)
+        return self._cached(("packbuild", jnp.dtype(res_dtype).name), build)
 
     def _pack_query_fn(self, ef: int, max_iters: int, filtered: bool,
                        expand: int, n_entry: int):
@@ -643,12 +753,15 @@ class ShardedIndex:
         out_ids = np.full((n, k), -1, np.int32)
         out_d = np.full((n, k), np.nan, np.float32)
         cache: dict = {}
-        hv = self._host_vecs()
 
         def prefetch(ids_np):
-            for x in np.unique(ids_np[ids_np >= 0]).tolist():
-                if x not in cache:
-                    cache[x] = bool(pred(hv[x // C, x % C]))
+            fresh = [x for x in np.unique(ids_np[ids_np >= 0]).tolist()
+                     if x not in cache]
+            if not fresh:
+                return
+            rows = self._rows_global(np.asarray(fresh, np.int64))
+            for x, row in zip(fresh, rows):
+                cache[x] = bool(pred(row))
 
         pending = np.arange(n)
         ef = max(self.params.min_nn, 2 * k, 16)
@@ -775,11 +888,8 @@ class ShardedIndex:
                                           row.size)
             keep = (rid[0] >= 0) & (rd[0] <= radius)
             if pred is not None:
-                hv = self._host_vecs()
-                C = self.shard_capacity
-                gc = np.clip(rid[0], 0, self.n_shards * C - 1)
-                ok = np.asarray([bool(pred(hv[g // C, g % C]))
-                                 for g in gc.tolist()])
+                rows_v = self._rows_global(rid[0])
+                ok = np.asarray([bool(pred(v)) for v in rows_v])
                 keep = keep & ok
             ids_out.append(rid[0][keep])
             d_out.append(rd[0][keep])
@@ -798,7 +908,10 @@ class ShardedIndex:
         if fmask is not None:
             allowed = allowed & fmask[s]
         if dst.is_custom(self.metric):
-            hv = self._host_vecs()[s]
+            # one shard's vectors only (1/S of the corpus); a Python
+            # metric can only run on the host
+            hv = self._host_vecs()[s] if self._mirrorable() \
+                else np.asarray(self._state.vectors[s])
             d = np.asarray(dst.exact(self.metric,
                                      q1[None, :].astype(np.float32),
                                      hv.astype(np.float32)),
@@ -972,10 +1085,19 @@ class ShardedIndex:
         return (s * self.shard_capacity + slot).astype(np.int32)
 
     def items(self) -> np.ndarray:
-        """Active stored vectors, ordered like ids()."""
+        """Active stored vectors, ordered like ids().  Inherently a
+        full-corpus readback; above the mirror budget rows are gathered on
+        the mesh and transferred in bounded chunks."""
         active = np.asarray(self._state.active)
         s, slot = np.nonzero(active)
-        return self._host_vecs()[s, slot]
+        if self._mirrorable():
+            return self._host_vecs()[s, slot]
+        g = s.astype(np.int64) * self.shard_capacity + slot
+        chunk = 1 << 16
+        out = np.empty((g.size, self.dim), np.float32)
+        for i in range(0, g.size, chunk):
+            out[i:i + chunk] = self._rows_global(g[i:i + chunk])
+        return out
 
     def get_info(self) -> stats.HNSWInfo:
         """Per-layer degree statistics aggregated over all shards

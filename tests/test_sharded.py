@@ -561,3 +561,108 @@ def test_sharded_waves_are_upload_free(monkeypatch):
     # strictly wave-count independent
     assert len(uploads) <= 8, (len(uploads), waves)
     assert len(uploads) < waves
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_refinement_bounded_memory(monkeypatch):
+    """VERDICT r3 #3 done-criterion: with a corpus 'too large to mirror'
+    (cap monkeypatched to 0) every query path still returns correctly
+    refined results, with NO full-corpus device->host transfer."""
+    import hnswindex_tpu.parallel.sharded as SH
+
+    devices = jax.devices()[:4]
+    rng = np.random.default_rng(4242)
+    n, k = 500, 5
+    vecs = rng.random((n, DIM), dtype=np.float32)
+    q = rng.random((20, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=n, max_wave_size=128, random_seed=3)
+
+    def run(idx):
+        gids = idx.add(vecs)
+        ki, kd = idx.knn_query(q, k=k)
+        ei, ed = idx.knn_query(q, k=k, exact=True)
+        ri, rd = idx.range_query(q[:4], radius=3.0)
+        fi, fd = idx.knn_query(q[:4], k=3, filter_fnc=lambda v: v[0] > 0.5)
+        return gids, ki, kd, ei, ed, ri, rd, fi, fd
+
+    ref = run(ShardedIndex(DIM, parameters=p, devices=devices))
+
+    monkeypatch.setattr(SH, "MIRROR_MAX_BYTES", 0)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+
+    def no_mirror():
+        raise AssertionError("full-corpus mirror above the budget")
+
+    monkeypatch.setattr(idx, "_host_vecs", no_mirror)
+    got = run(idx)
+
+    assert np.array_equal(ref[0], got[0])
+    assert np.array_equal(ref[1], got[1])          # knn ids
+    assert np.allclose(ref[2], got[2], rtol=1e-4, atol=1e-5,
+                       equal_nan=True)             # knn dists (f64 vs f32)
+    assert np.array_equal(ref[3], got[3])          # exact ids
+    assert np.allclose(ref[4], got[4], rtol=1e-4, atol=1e-5, equal_nan=True)
+    for a, b in zip(ref[5], got[5]):               # range ids (ragged)
+        assert np.array_equal(a, b)
+    for a, b in zip(ref[6], got[6]):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
+    assert np.array_equal(ref[7], got[7])          # filtered ids
+    # items() stays available above the budget (bounded chunk gathers)
+    it = idx.items()
+    assert it.shape == (n, DIM)
+    gid_to_vec = {int(g): vecs[j] for j, g in enumerate(got[0])}
+    expect = np.stack([gid_to_vec[int(g)] for g in idx.ids()])
+    assert np.allclose(it, expect, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_block_dynamics(tmp_path):
+    """VERDICT r2 #8 (sharded tier): incremental add/remove/update on the
+    mesh-sharded block tables, persistence of the mutated layout, and the
+    rebuild trigger."""
+    from hnswindex_tpu import ShardedBlockIndex
+
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(404)
+    base = rng.random((300, DIM), dtype=np.float32)
+    sb = ShardedBlockIndex(DIM, block_size=32, devices=devices)
+    sb.build(base)
+    assert sb.count == 300
+
+    far = rng.random((120, DIM), dtype=np.float32) + 2.5
+    fids = sb.add(far)
+    assert sb.count == 420
+    assert np.array_equal(fids, np.arange(300, 420))
+    ids, d = sb.knn_query(far[:24], k=1, n_probe=8)
+    assert (ids[:, 0] == fids[:24]).mean() > 0.9
+
+    sb.remove(fids[:60])
+    assert sb.count == 360
+    ids2, _ = sb.knn_query(far[:24], k=3, n_probe=8)
+    assert not np.isin(ids2[ids2 >= 0], fids[:60]).any()
+
+    moved = base[:10] + 5.0
+    sb.update(np.arange(10), moved)
+    ui, ud = sb.knn_query(moved, k=1, n_probe=8)
+    assert (ui[:, 0] == np.arange(10)).mean() > 0.85
+    assert np.nanmax(ud[:, 0]) < 1e-3
+
+    # mutated layout round-trips exactly
+    path = str(tmp_path / "sbdyn.npz")
+    sb.serialize(path)
+    back = ShardedBlockIndex.deserialize(path, devices=devices)
+    assert back.count == sb.count
+    a = sb.knn_query(base[:32], k=5, n_probe=8)
+    b = back.knn_query(base[:32], k=5, n_probe=8)
+    assert np.array_equal(a[0], b[0])
+
+    # churn past the trigger, then rebuild preserves ids + recall
+    sb.remove(np.arange(10, 200))
+    assert sb.needs_rebuild()
+    sb.rebuild()
+    assert not sb.needs_rebuild()
+    live = np.concatenate([np.arange(10), np.arange(200, 300),
+                           fids[60:]])
+    assert sb.count == live.size
+    li, _ = sb.knn_query(far[60 - 120:], k=1, n_probe=8)
+    assert (li[:, 0] == fids[60:]).mean() > 0.9
