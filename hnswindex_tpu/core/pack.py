@@ -71,20 +71,25 @@ class QueryPack(NamedTuple):
     entry_norms: jnp.ndarray  # (S,)  f32
 
 
-def pack_bytes(capacity: int, k: int, dim: int) -> int:
-    """HBM footprint of a pack with the given geometry (bf16 residuals +
-    f32 aux/ids + f32 base table)."""
-    return capacity * k * (dim * 2 + 4 + 4) + capacity * dim * 4
+def pack_bytes(capacity: int, k: int, dim: int,
+               res_dtype=jnp.bfloat16) -> int:
+    """HBM footprint of a pack with the given geometry (``res_dtype``
+    residuals + f32 aux/ids + f32 base table)."""
+    rb = jnp.dtype(res_dtype).itemsize
+    return capacity * k * (dim * rb + 4 + 4) + capacity * dim * 4
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "res_dtype"))
 def make_query_pack(cfg: GraphConfig, state: GraphState,
-                    entry_ids: jnp.ndarray) -> QueryPack:
+                    entry_ids: jnp.ndarray,
+                    res_dtype=jnp.bfloat16) -> QueryPack:
     """Build the pack from the live graph state.
 
     ``entry_ids (S,)`` is the host-compacted high-level node list (-1
-    padded).  Residuals are computed in f32 then rounded to bf16, chunked
-    over rows so no full-width (C, K, D) f32 intermediate exists."""
+    padded).  Residuals are computed in f32 then rounded to ``res_dtype``
+    (the index facade auto-selects the widest of float32/bfloat16 whose
+    pack fits params.pack_max_bytes), chunked over rows so no full-width
+    (C, K, D) f32 intermediate exists."""
     C = state.capacity
     K = state.nbr0.shape[1]
     D = cfg.dim
@@ -98,7 +103,7 @@ def make_query_pack(cfg: GraphConfig, state: GraphState,
 
     chunk = min(_BUILD_CHUNK, C)
     n_chunks = -(-C // chunk)
-    res0 = jnp.zeros((C, K, D), jnp.bfloat16)
+    res0 = jnp.zeros((C, K, D), res_dtype)
     aux0 = jnp.zeros((C, K), jnp.float32)
 
     def body(i, carry):
@@ -107,7 +112,7 @@ def make_query_pack(cfg: GraphConfig, state: GraphState,
         idx = lax.dynamic_slice_in_dim(safe, r0, chunk, axis=0)   # (ch, K)
         uv = lax.dynamic_slice_in_dim(base, r0, chunk, axis=0)    # (ch, D)
         nv = base[idx]                                            # (ch,K,D)
-        r = (nv - uv[:, None, :]).astype(jnp.bfloat16)
+        r = (nv - uv[:, None, :]).astype(res_dtype)
         rf = r.astype(jnp.float32)
         a = jnp.sum(rf * rf, axis=-1)  # ||r||^2 AFTER rounding: the
         # ranking identity stays exact for the perturbed point
@@ -203,7 +208,7 @@ def packed_knn_search(cfg: GraphConfig, pack: QueryPack,
         rd = jnp.zeros((B, 0), jnp.float32)
         ri = jnp.zeros((B, 0), jnp.int32)
 
-    qh16 = qh.astype(jnp.bfloat16)
+    qh16 = qh.astype(pack.res.dtype)   # query at the residual precision
     init = _PackCarry(bd, bi, bx, rd, ri, jnp.asarray(0, jnp.int32))
 
     def cond(s):
@@ -229,7 +234,10 @@ def packed_knn_search(cfg: GraphConfig, pack: QueryPack,
             qres = qh[:, None, :] - uv                   # (B, P, D) f32
             du = jnp.sum(qres * qres, axis=-1)           # exact ||q-u||^2
             dots = jnp.einsum("bpkd,bpd->bpk", rt,
-                              qres.astype(jnp.bfloat16),
+                              qres.astype(rt.dtype),
+                              precision=(dst.DOT_PRECISION
+                                         if rt.dtype == jnp.float32
+                                         else None),
                               preferred_element_type=jnp.float32)
             nd = du[:, :, None] - 2.0 * dots + at
         else:
@@ -237,6 +245,9 @@ def packed_knn_search(cfg: GraphConfig, pack: QueryPack,
                                   precision=dst.DOT_PRECISION,
                                   preferred_element_type=jnp.float32)
             dots = jnp.einsum("bpkd,bd->bpk", rt, qh16,
+                              precision=(dst.DOT_PRECISION
+                                         if rt.dtype == jnp.float32
+                                         else None),
                               preferred_element_type=jnp.float32)
             nd = du[:, :, None] - dots
 

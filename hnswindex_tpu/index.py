@@ -53,6 +53,25 @@ def resolve_rank_dtype(pref: str) -> str:
         return pref
     return "float32"
 
+
+def resolve_pack_dtype(params, capacity: int, k: int, dim: int):
+    """Residual-tile dtype for the query pack per params.pack_dtype:
+    "bf16" (default — residual rounding is a second-order ranking
+    perturbation and tiles cost half the HBM traffic), "f32", or "auto"
+    (widest of float32/bfloat16 whose pack fits pack_max_bytes).  None
+    when the resolved pack cannot fit the budget."""
+    from .core import pack as PK
+    if params.pack_dtype == "auto":
+        for cand in (jnp.float32, jnp.bfloat16):
+            if PK.pack_bytes(capacity, k, dim,
+                             cand) <= params.pack_max_bytes:
+                return cand
+        return None
+    cand = jnp.float32 if params.pack_dtype == "f32" else jnp.bfloat16
+    if PK.pack_bytes(capacity, k, dim, cand) > params.pack_max_bytes:
+        return None
+    return cand
+
 # Bucket ladders start at 8: at batch width 1 XLA's layout assignment
 # materializes the (C, K) neighbor-table slice in a lane-padded T(8,128)
 # layout (K=32 -> 128, a 4x HBM blowup that OOMs at 8M rows); width >= 8
@@ -605,7 +624,8 @@ class HNSWIndex:
         from .core import pack as PK
         C = self._state.capacity
         K = self._state.nbr0.shape[1]
-        if PK.pack_bytes(C, K, self.dim) > self.params.pack_max_bytes:
+        res_dtype = resolve_pack_dtype(self.params, C, K, self.dim)
+        if res_dtype is None:
             return None
         # entry set = the smallest upper level whose population fits the
         # flat MXU scan (the pack's replacement for greedy descent walks
@@ -630,7 +650,8 @@ class HNSWIndex:
         padded[:eids.size] = eids
         with profiler.phase("pack.build"):
             self._pack = PK.make_query_pack(
-                self._cfg, self._state, jnp.asarray(padded, jnp.int32))
+                self._cfg, self._state, jnp.asarray(padded, jnp.int32),
+                res_dtype)
         return self._pack
 
     def _build_filter_mask(self, filter_fnc) -> Optional[jnp.ndarray]:

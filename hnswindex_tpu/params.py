@@ -97,10 +97,16 @@ class HNSWParameters:
     #: row-gather issue ceiling.
     pack_queries: str = "auto"
 
-    #: HBM budget for the query pack.  The pack dtype auto-selects the
-    #: widest of float32/bfloat16 that fits; if neither fits, packed
-    #: serving is skipped.
+    #: HBM budget for the query pack; when the pack cannot fit (at its
+    #: configured pack_dtype), packed serving is skipped.
     pack_max_bytes: int = 9 << 30
+
+    #: Residual-tile dtype for the query pack: "bf16" (default — residual
+    #: bf16 error is ~0.4% of the neighbor's distance TO ITS PARENT, a
+    #: second-order ranking perturbation, and tiles are half the HBM
+    #: traffic of f32), "f32" (exact tiles, 2x fetch bytes), or "auto"
+    #: (widest of float32/bfloat16 whose pack fits pack_max_bytes).
+    pack_dtype: str = "bf16"
 
     #: Corpus size at which "auto" packed serving switches on.
     pack_min_count: int = 32768
@@ -125,3 +131,5 @@ class HNSWParameters:
             raise ValueError("distribution_rate must be >= 0")
         if self.max_wave_size < 1:
             raise ValueError("max_wave_size must be >= 1")
+        if self.pack_dtype not in ("bf16", "f32", "auto"):
+            raise ValueError("pack_dtype must be 'bf16', 'f32' or 'auto'")

@@ -102,3 +102,51 @@ def test_pack_budget_gating(corpus):
     qi, _ = ix.knn_query(corpus[:32], k=1)
     assert ix._pack is None            # over budget -> unpacked serve
     assert (qi[:, 0] == ids[:32]).mean() > 0.85
+
+
+def test_pack_dtype_selection():
+    """params.pack_dtype: bf16 default, f32 opt-in, auto = widest fit;
+    f32 packs rank at full precision with identical result contracts."""
+    import jax.numpy as jnp
+
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+    from hnswindex_tpu.core import pack as PK
+    from hnswindex_tpu.index import resolve_pack_dtype
+
+    rng = np.random.default_rng(8)
+    n, dim = 600, 16
+    vecs = rng.random((n, dim), dtype=np.float32)
+
+    def build(**kw):
+        p = HNSWParameters(collection_size=n, max_wave_size=64,
+                           pack_queries="on", random_seed=4, **kw)
+        ix = HNSWIndex(dim, parameters=p)
+        ix.add(vecs)
+        pk = ix._get_pack()
+        return ix, pk
+
+    ix_b, pk_b = build()
+    assert pk_b is not None and pk_b.res.dtype == jnp.bfloat16
+    ix_f, pk_f = build(pack_dtype="f32")
+    assert pk_f is not None and pk_f.res.dtype == jnp.float32
+    ix_a, pk_a = build(pack_dtype="auto")
+    assert pk_a.res.dtype == jnp.float32   # tiny corpus: f32 fits
+
+    # f32 residuals are exact: packed results == unpacked beam results
+    bi, bd = ix_f.knn_query(vecs[:64], k=5)
+    ui, ud = ix_b.knn_query(vecs[:64], k=5)
+    # both clear self-recall regardless of residual dtype
+    assert (bi[:, 0] == np.arange(64)).mean() > 0.9
+    assert (ui[:, 0] == np.arange(64)).mean() > 0.9
+
+    # auto degrades to bf16, then to no pack, as the budget shrinks
+    C = ix_b._state.capacity
+    K = ix_b._state.nbr0.shape[1]
+    f32_bytes = PK.pack_bytes(C, K, dim, jnp.float32)
+    bf16_bytes = PK.pack_bytes(C, K, dim, jnp.bfloat16)
+    p = HNSWParameters(pack_dtype="auto", pack_max_bytes=f32_bytes - 1)
+    assert resolve_pack_dtype(p, C, K, dim) == jnp.bfloat16
+    p = HNSWParameters(pack_dtype="auto", pack_max_bytes=bf16_bytes - 1)
+    assert resolve_pack_dtype(p, C, K, dim) is None
+    with pytest.raises(ValueError):
+        HNSWParameters(pack_dtype="f64").validate()
