@@ -145,12 +145,25 @@ class RefSnapshot:
     count: int
 
 
+def _packed_varints(payload: memoryview) -> List[int]:
+    """Packed repeated varints (spec: readers accept packed and unpacked
+    encodings interchangeably, whatever the writer chose)."""
+    vals: List[int] = []
+    pos = 0
+    while pos < len(payload):
+        v, pos = _read_varint(payload, pos)
+        vals.append(_as_int32(v))
+    return vals
+
+
 def _parse_edge_list(buf: memoryview) -> np.ndarray:
     vals: List[int] = []
     count = 0
     for fno, wt, payload in _fields(buf):
         if fno == 1 and wt == _WIRE_VARINT:
             vals.append(_as_int32(payload))
+        elif fno == 1 and wt == _WIRE_LEN:
+            vals.extend(_packed_varints(payload))
         elif fno == 2 and wt == _WIRE_VARINT:
             count = _as_int32(payload)
     # Buffer carries slack beyond Count (EdgeList.Grow, Node.cs:95-106)
@@ -176,6 +189,8 @@ def _parse_vector(buf: memoryview) -> np.ndarray:
     for fno, wt, payload in _fields(buf):
         if fno == 1 and wt == _WIRE_F32:
             vals.append(_f32(payload))
+        elif fno == 1 and wt == _WIRE_LEN:    # packed fixed32 floats
+            vals.extend(np.frombuffer(payload, dtype="<f4").tolist())
     return np.asarray(vals, dtype=np.float32)
 
 
@@ -212,10 +227,14 @@ def _parse_graph_data(buf: memoryview) -> Dict:
             out["nodes"].append(_parse_node(payload))
         elif fno == 2 and wt == _WIRE_VARINT:
             out["active"].append(_as_int32(payload))
+        elif fno == 2 and wt == _WIRE_LEN:
+            out["active"].extend(_packed_varints(payload))
         elif fno == 3 and wt == _WIRE_LEN:
             out["items"].append(_parse_vector(payload))
         elif fno == 4 and wt == _WIRE_VARINT:
             out["removed"].append(_as_int32(payload))
+        elif fno == 4 and wt == _WIRE_LEN:
+            out["removed"].extend(_packed_varints(payload))
         elif fno == 5 and wt == _WIRE_VARINT:
             out["entry_point"] = _as_int32(payload)
         elif fno == 6 and wt == _WIRE_VARINT:

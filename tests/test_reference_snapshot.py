@@ -201,3 +201,63 @@ def test_negative_and_default_conventions(tmp_path):
     assert empty.params.max_edges == 16
     assert empty.params.allow_removals is True
     assert empty.entry_point == -1
+
+
+def test_golden_fixture_bytes():
+    """Frozen interchange fixture: bytes produced by the independent
+    google.protobuf codec, checked into the repo.  Guards against the
+    two codecs drifting together in a later change.  (A byte stream from
+    the actual .NET protobuf-net library is environment-blocked — no
+    dotnet runtime in this image — so the frozen independent encoding is
+    the strongest available gate; see docs/PARITY.md #13.)"""
+    import os
+    here = os.path.join(os.path.dirname(__file__), "fixtures")
+    blob = os.path.join(here, "refsnap_golden.bin")
+    exp = np.load(os.path.join(here, "refsnap_golden_expected.npz"))
+
+    snap = refsnap.parse_snapshot(open(blob, "rb").read())
+    assert snap.count == int(exp["count"])
+    assert sorted(snap.removed) == exp["free"].tolist()
+    assert snap.entry_point == int(exp["ep"])
+
+    idx = HNSWIndex.from_reference_snapshot(blob)
+    assert idx.count == int(exp["count"])
+    gi, gd = idx.knn_query(exp["queries"], k=5)
+    np.testing.assert_array_equal(gi, exp["ids"])
+    np.testing.assert_allclose(gd, exp["dists"], rtol=1e-6, equal_nan=True)
+
+
+def test_packed_encodings_accepted():
+    """Conforming readers accept packed AND unpacked repeated scalars
+    (another protobuf-net/version degree of freedom retired): hand-pack
+    the repeated fields and parse."""
+    import struct
+
+    def packed_varints(fno, vals):
+        payload = b"".join(
+            refsnap._varint(v & 0xFFFFFFFFFFFFFFFF if v < 0 else v)
+            for v in vals)
+        return refsnap._enc_msg(fno, payload)
+
+    def packed_f32(fno, vals):
+        return refsnap._enc_msg(
+            fno, b"".join(struct.pack("<f", v) for v in vals))
+
+    edge = packed_varints(1, [5, -1, 7]) + refsnap._enc_int(2, 2)
+    node = (refsnap._enc_int(1, 3)
+            + refsnap._enc_msg(3, edge))      # out_edges layer 0
+    vec = packed_f32(1, [1.5, -2.25])
+    gd = (refsnap._enc_msg(1, node)
+          + packed_varints(2, [3])            # active, packed
+          + refsnap._enc_msg(3, vec)
+          + packed_varints(4, [-3, 9])        # removed, packed
+          + refsnap._enc_int(6, 8) + refsnap._enc_int(7, 4)
+          + refsnap._enc_int(8, 1))
+    data = refsnap._enc_msg(1, b"") + refsnap._enc_msg(2, gd)
+
+    snap = refsnap.parse_snapshot(data)
+    assert snap.active.tolist() == [3]
+    assert snap.removed == [-3, 9]
+    assert snap.nodes[0].id == 3
+    assert snap.nodes[0].out_edges[0].tolist() == [5, -1]  # count=2 trim
+    np.testing.assert_allclose(snap.items[0], [1.5, -2.25])
