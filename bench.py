@@ -242,11 +242,23 @@ def main():
     log(f"headline mode: {mode} (recall {recall:.3f}) at N={n} "
         f"{data_kind}; build {build_rate:.0f} inserts/s")
 
+    # machine-readable detail (VERDICT r2 #9): the driver records the
+    # whole line, so the build bar and link conditions are visible to
+    # future rounds, not just the headline qps
     print(json.dumps({
         "metric": "knn_qps_chip",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / 100_000, 4),
+        "headline_mode": mode,
+        "headline_recall": round(recall, 4),
+        "build_inserts_per_s": round(build_rate, 1),
+        "build_vs_bar": round(build_rate / 10_000, 4),
+        "h2d_link_mbps": round(h2d, 2),
+        "ingest_ceiling_per_s": round(ceil, 1),
+        "modes": {m: {"qps": round(q_, 1), "recall": round(r_, 4)}
+                  for q_, m, r_ in candidates},
+        "n": n, "dim": dim, "data": data_kind,
     }), flush=True)
 
 
