@@ -44,8 +44,10 @@ def main():
              + 0.03 * jax.random.normal(kn, (N, DIM), jnp.float32))
     dvecs.block_until_ready()
 
-    idx = HNSWIndex(DIM, parameters=HNSWParameters(
-        collection_size=N, max_wave_size=W))
+    params = HNSWParameters(collection_size=N, max_wave_size=W)
+    if "PSLACK" in os.environ:                 # reverse-slack A/B knob
+        params.reverse_slack = int(os.environ["PSLACK"])
+    idx = HNSWIndex(DIM, parameters=params)
     # seed the graph with a small host batch (the bootstrap path wants
     # numpy); the rest streams from device memory
     seed_n = 1024
@@ -70,20 +72,45 @@ def main():
     cur = jnp.zeros((), jnp.int32)
     dbatch = dvecs[seed_n:]
 
+    from hnswindex_tpu.index import WAVE_GROUP
+
     i = 0
     t_half = None
     t0 = time.perf_counter()
+    mw_full = min(W, WAVE_BUCKETS[-1])
     while i < n_rest:
-        # mirror index._insert_batch's scheduler exactly (incl. the bucket
-        # and upper-ladder clamps)
+        # mirror index._insert_batch's scheduler exactly (incl. the
+        # steady-state wave grouping and the bucket/upper-ladder clamps)
+        grp = WAVE_GROUP
+        if (grp > 1 and idx._count_host >= mw_full
+                and n_rest - i >= grp * mw_full
+                and idx._count_host + grp * mw_full
+                <= idx.params.exact_build_threshold):
+            lv_g = lv[i:i + grp * mw_full]
+            per_up = (lv_g >= 1).reshape(grp, mw_full).sum(axis=1)
+            if (mw_full <= UPPER_BUCKETS[-1]
+                    or per_up.max() <= UPPER_BUCKETS[-1]):
+                b = _bucket(mw_full, WAVE_BUCKETS)
+                cur = idx._insert_wave_dev(dids, dbatch, dlvls, cur,
+                                           n_dev, b, int(per_up.max()),
+                                           k_waves=grp,
+                                           max_lvl=int(lv_g.max()))
+                idx._count_host += grp * mw_full
+                i += grp * mw_full
+                if t_half is None and i >= n_rest // 2:
+                    np.asarray(idx._state.deg0[:1])
+                    t_half = time.perf_counter()
+                    n_half = i
+                continue
         w = min(W, WAVE_BUCKETS[-1], max(1, idx._count_host), n_rest - i)
         upc = np.cumsum(lv[i:i + w] >= 1)
         if w > UPPER_BUCKETS[-1] and upc[-1] > UPPER_BUCKETS[-1]:
             w = int(np.searchsorted(upc, UPPER_BUCKETS[-1], side="right"))
         b = _bucket(w, WAVE_BUCKETS)
         up_cnt = int(upc[w - 1]) if w else 0
+        ml = int(lv[i:i + w].max()) if up_cnt else 0
         cur = idx._insert_wave_dev(dids, dbatch, dlvls, cur, n_dev, b,
-                                   up_cnt)
+                                   up_cnt, max_lvl=ml)
         idx._count_host += w
         i += w
         if t_half is None and i >= n_rest // 2:

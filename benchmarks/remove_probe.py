@@ -33,6 +33,10 @@ def main():
 
     idx = HNSWIndex(dim, parameters=HNSWParameters(collection_size=n))
     idx.params.min_nn = int(os.environ.get("PROBE_EF", "16"))
+    # quality/cost sweep knobs (REPAIR_SPAN/_1/FANIN ride HNSW_REPAIR_*
+    # env vars read by core.remove at import)
+    idx.params.remove_max_candidates = int(
+        os.environ.get("REMOVE_EF", idx.params.remove_max_candidates))
     t0 = time.perf_counter()
     ids = idx.add(vecs)
     t1 = time.perf_counter()

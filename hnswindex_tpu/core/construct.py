@@ -48,14 +48,16 @@ _PRUNE_CHUNK = 1024
 
 
 def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
-                mask, max_deg: int):
+                mask, max_deg: int, fill_to: int = 0):
     """Heuristic-prune candidate lists against their target nodes.
 
     ``target_ids (P,)``, ``cand_ids (P, NC)`` (-1 invalid), ``mask (P,)``
     gates rows.  Distances are computed candidate->target (the reference's
     PruneOverflow / removal-repair orientation, GraphConnector.cs:233,118).
     Processed in chunks via ``lax.map`` to bound the gathered-vector
-    footprint.  Returns (sel (P, max_deg) i32, count (P,) i32)."""
+    footprint.  ``fill_to`` tops under-connected rows back up from their
+    rejected candidates (removal repair only — see heuristic.prune).
+    Returns (sel (P, max_deg) i32, count (P,) i32)."""
     P, NC = cand_ids.shape
     C = vectors.shape[0]
     # each lax.map chunk carries ~2-3 ms of fixed small-op latency
@@ -85,7 +87,7 @@ def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
         cd = dst.gathered(cfg.metric, tvec, tn, cvecs, cn)
         cd = jnp.where((cic >= 0) & mkc[:, None], cd, _INF)
         return heuristic.prune(cfg.metric, jnp.where(mkc[:, None], cic, -1),
-                               cd, cvecs, cn, max_deg)
+                               cd, cvecs, cn, max_deg, fill_to=fill_to)
 
     sel, cnt = lax.map(one_chunk, (t.reshape(n_chunks, chunk),
                                    ci.reshape(n_chunks, chunk, NC),
@@ -101,8 +103,22 @@ def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
 #: argsorts, accept scan) at a fraction of the rows.  The fraction is the
 #: static lane budget as a multiple of P/8; a lax.cond falls back to the
 #: full-width prune on waves whose overflow count exceeds the budget.
-REVERSE_COMPACT_NUM = int(__import__("os").environ.get(
-    "HNSW_REVERSE_COMPACT_NUM", "4"))   # budget = P * NUM / 8; 0 disables
+#: Measured at 1M clustered on v5e (benchmarks/RESULTS.md round-3 A/B):
+#: NUM=0 4957/s, NUM=4 6009/s, NUM=6 6782/s steady — overflow-start
+#: density runs ~60% of P, so budgets below 5/8 fall back to the
+#: full-width prune on most waves and only pay the argsort.  With layer-0
+#: slack (cfg.slack0 > 0) overflows fire ~(slack0+1)x less often, so the
+#: default budget drops to P/8 (the cond falls back to full width on the
+#: rare dense wave).  None = auto; the env var pins a value for A/Bs.
+_RCN_ENV = __import__("os").environ.get("HNSW_REVERSE_COMPACT_NUM")
+REVERSE_COMPACT_NUM = None if _RCN_ENV is None else int(_RCN_ENV)
+
+
+def _reverse_budget(cfg: GraphConfig, P: int) -> int:
+    num = REVERSE_COMPACT_NUM
+    if num is None:
+        num = 6 if cfg.slack0 == 0 else 1
+    return (P * num) // 8
 
 
 def _prune_rows_compact(cfg: GraphConfig, vlo, norms, target_ids, cand_ids,
@@ -200,7 +216,15 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     olddeg = jnp.where(spv, deg_l[svc], 0)
     total = olddeg + gcnt
     start_ok = spv & isstart
-    over_row = start_ok & (total > max_deg)
+    # Overflow fires on the STORAGE width, not the degree cap: with
+    # layer-0 slack columns (cfg.slack0) a full row absorbs arrivals into
+    # the spare lanes and the re-prune — the dominant steady-state wave
+    # cost — runs ~slack0+1x less often per row.  The re-prune target is
+    # still ``max_deg``, so pruned rows return to the reference cap and
+    # the slack refills.  K == max_deg wherever slack is 0 (upper layers
+    # always), which is exactly the reference trigger
+    # (GraphConnector.cs:209-211).
+    over_row = start_ok & (total > K)
 
     # Existing edges of each target (slots >= deg are -1 by invariant; the
     # explicit mask keeps that true even for rows mid-repair).
@@ -230,7 +254,7 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     w_ok = (jnp.arange(A)[None, :] < jnp.minimum(gcnt, A)[:, None]) \
         & over_row[:, None]
     cand = jnp.concatenate([ex, jnp.where(w_ok, wu, -1)], axis=1)  # (P, K+A)
-    budget = (P * REVERSE_COMPACT_NUM) // 8
+    budget = _reverse_budget(cfg, P)
     sel2, cnt2 = _prune_rows_compact(cfg, vlo, norms, sv, cand, over_row,
                                      max_deg, budget)
     sel2pad = jnp.full((P, K), -1, jnp.int32).at[:, :max_deg].set(sel2)
@@ -241,6 +265,47 @@ def _add_reverse(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, src_ids, sel,
     nbr_l = nbr_l.at[rowd].set(final_row, mode="drop")
     deg_l = deg_l.at[rowd].set(final_cnt, mode="drop")
     return nbr_l, deg_l
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_deg"),
+         donate_argnames=("nbr0", "deg0"))
+def _normalize_chunk(cfg: GraphConfig, vlo, norms, nbr0, deg0, rows,
+                     max_deg: int):
+    C, K = nbr0.shape
+    ok = rows >= 0
+    rc = jnp.clip(rows, 0, C - 1)
+    cand = jnp.where(ok[:, None], nbr0[rc], -1)
+    sel, cnt = _prune_rows(cfg, vlo, norms, rows, cand, ok, max_deg)
+    selpad = jnp.full((rows.shape[0], K), -1, jnp.int32).at[
+        :, :max_deg].set(sel)
+    rowd = jnp.where(ok, rows, C)
+    return (nbr0.at[rowd].set(selpad, mode="drop"),
+            deg0.at[rowd].set(cnt, mode="drop"))
+
+
+def normalize_base_rows(cfg: GraphConfig, vlo, norms, nbr0, deg0, rows_np):
+    """Re-prune ``rows_np`` of the layer-0 table back to the 2M degree
+    cap (heuristic semantics, PruneOverflow's orientation).
+
+    With layer-0 slack columns (cfg.slack0) rows transiently hold up to
+    2M+slack0 edges; exports in reference wire formats
+    (index.to_reference_snapshot) must emit rows at the reference's cap,
+    so they run their mirror through this pass first.  ``nbr0``/``deg0``
+    are DONATED — callers normalizing a live state must pass copies.
+    Returns the updated (nbr0, deg0) device arrays."""
+    import numpy as np
+
+    B = 4096
+    i = 0
+    max_deg = cfg.max_degree(True)
+    while i < rows_np.size:
+        take = rows_np[i:i + B]
+        pad = np.full(B, -1, np.int32)
+        pad[:take.size] = take
+        nbr0, deg0 = _normalize_chunk(cfg, vlo, norms, nbr0, deg0,
+                                      jnp.asarray(pad), max_deg)
+        i += take.size
+    return nbr0, deg0
 
 
 def _apply_connections(cfg: GraphConfig, state: GraphState, layer, ids,
@@ -348,12 +413,14 @@ def upper_compact(wid, wlvl, valid, ubucket: int):
 
 
 @partial(jax.jit, static_argnames=("cfg", "bucket", "ubucket", "max_wave",
-                                   "nscan", "max_up"),
+                                   "nscan", "max_up", "k_waves",
+                                   "max_lvl"),
          donate_argnames=("state",))
 def insert_wave_fused(cfg: GraphConfig, state: GraphState, dids, dvecs,
                       dlvls, cur, n_total, panel_ids, bucket: int,
                       ubucket: int, max_wave: int, nscan: int | None,
-                      max_up: int = 1 << 30):
+                      max_up: int = 1 << 30, k_waves: int = 1,
+                      max_lvl: int = 0):
     """One-launch exact-path wave insert: wave_head + scatter_wave +
     upper_connect_exact + base_connect_exact composed into a single
     device program.
@@ -364,16 +431,33 @@ def insert_wave_fused(cfg: GraphConfig, state: GraphState, dids, dvecs,
     of pure launch cost on a 1-core host — the dominant per-wave cost
     once per-wave uploads were eliminated.  ``ubucket == 0`` skips the
     upper phase (the host knows each wave's upper count exactly).
+
+    ``k_waves`` chains that many CONSECUTIVE waves in one launch
+    (Python-unrolled — a lax carry of the neighbor tables would make XLA
+    materialize lane-padded copies per step), amortizing the remaining
+    per-launch latency.  Correct without host help because every wave
+    quantity is device-derived: base_connect_exact advances state.count,
+    wave_head re-reads it plus the carried cursor, and waves 2..K scan a
+    prefix that already contains wave 1's (active) rows — identical
+    programs to K separate launches.  The host only groups waves whose
+    widths/upper counts it has simulated to fit the static buckets.
+
+    ``max_lvl`` (static) bounds the upper phase's layer loop to the
+    wave's (group-max) top level — see upper_connect_exact; 0 runs all
+    layers.  The host passes a bucketed upper bound, never a smaller
+    value than the true wave top.
     Returns (state, cur')."""
-    wid, wvec, wlvl, valid, cur = wave_head(state.count, dids, dvecs,
-                                            dlvls, cur, n_total, bucket,
-                                            max_wave, max_up)
-    state = scatter_wave(cfg, state, wid, wvec, wlvl, valid)
-    if ubucket:
-        uid, ulvl, uval, _ = upper_compact(wid, wlvl, valid, ubucket)
-        state = upper_connect_exact(cfg, state, uid, ulvl, uval,
-                                    panel_ids)
-    state = base_connect_exact(cfg, state, wid, wlvl, valid, nscan=nscan)
+    for _ in range(k_waves):
+        wid, wvec, wlvl, valid, cur = wave_head(state.count, dids, dvecs,
+                                                dlvls, cur, n_total, bucket,
+                                                max_wave, max_up)
+        state = scatter_wave(cfg, state, wid, wvec, wlvl, valid)
+        if ubucket:
+            uid, ulvl, uval, _ = upper_compact(wid, wlvl, valid, ubucket)
+            state = upper_connect_exact(cfg, state, uid, ulvl, uval,
+                                        panel_ids, max_lvl)
+        state = base_connect_exact(cfg, state, wid, wlvl, valid,
+                                   nscan=nscan)
     return state, cur
 
 
@@ -472,9 +556,10 @@ def upper_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid):
     return state, entry
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@partial(jax.jit, static_argnames=("cfg", "max_lvl"),
+         donate_argnames=("state",))
 def upper_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
-                        valid, panel_ids):
+                        valid, panel_ids, max_lvl: int = 0):
     """Phase 2 (exact variant): connect upper-level wave members from exact
     MXU candidates over the compacted upper-node panel.
 
@@ -493,12 +578,22 @@ def upper_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
     (ConnectAtLayer, GraphConnector.cs:187-217).  Distances rank on the
     bf16 coarse mirror when present, then the surviving ef_construction
     candidates are rescored in f32 before the heuristic (same two-stage
-    scheme as ops/bruteforce.exact_knn2)."""
+    scheme as ops/bruteforce.exact_knn2).
+
+    ``max_lvl`` (static) bounds the layer loop to the wave's actual top
+    level: layers above every member's level are exact no-ops (``conn``
+    is all-false, the row scatter drops everything), yet each one costs
+    a full approx_min_k + prune + reverse-scatter chain of small-op
+    latency per wave.  The host knows the wave's levels exactly and
+    passes a bucketed bound; 0 means 'all layers' (the safe default —
+    passing a bound SMALLER than the wave's true top level would
+    silently strip upper edges)."""
     from .graph import with_nbr_slice
 
     Wu = ids.shape[0]
     C = state.capacity
     L = state.num_levels
+    top = L - 1 if max_lvl <= 0 else min(L - 1, max_lvl)
     Cu = panel_ids.shape[0]
     ids = ids.astype(jnp.int32)
     lvls = lvls.astype(jnp.int32)
@@ -529,7 +624,7 @@ def upper_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
 
     qvf = state.vlo[qc]
     NC = min(cfg.ef_construction, Cu)
-    for layer in range(L - 1, 0, -1):
+    for layer in range(top, 0, -1):
         conn = valid & has_graph & (layer <= conn_top) & (lvls >= layer)
         d_l = jnp.where((pok & (plvl >= layer))[None, :], dall, _INF)
         vals, idx = lax.approx_min_k(d_l, NC, recall_target=0.95)

@@ -15,10 +15,13 @@ Layout (C = capacity, D = dim, L = max levels):
   enables dot-product distance decomposition on the MXU).
 * ``level    (C,)   i32`` — per-node top layer (``Node.MaxLayer``,
   Node.cs:27); -1 for never-used slots.
-* ``nbr0    (C, 2M) i32`` — layer-0 out-edges, -1 padded; row u holds
+* ``nbr0 (C, 2M+slack0) i32`` — layer-0 out-edges, -1 padded; row u holds
   ``deg0[u]`` valid entries in columns [0, deg).  Replaces
   ``Node.OutEdges[0]`` (Node.cs:22); layer 0's degree cap is 2*M
-  (GraphData.cs:247-250).  Slots >= deg are always -1 (invariant).
+  (GraphData.cs:247-250), plus ``cfg.slack0`` spare columns that absorb
+  reverse arrivals between overflow re-prunes (see GraphConfig.slack0 —
+  degrees may transiently reach 2M+slack0).  Slots >= deg are always -1
+  (invariant).
 * ``deg0     (C,) i32`` — layer-0 out-degree (EdgeList.Count).
 * ``nbru (L-1, C, M) i32`` / ``degu (L-1, C) i32`` — layers 1..L-1, whose
   degree cap is M.  Splitting the hierarchy off the base layer halves the
@@ -68,6 +71,19 @@ class GraphConfig:
     #: precision afterwards.  "float32" keeps traversal exact (CPU/test
     #: default).
     rank_dtype: str = "float32"
+    #: Extra layer-0 row columns beyond the 2M degree cap.  A full row
+    #: absorbs up to ``slack0`` reverse arrivals into the spare columns
+    #: before the overflow re-prune fires (construct._add_reverse prunes
+    #: back down to 2M when a row would exceed the STORAGE width), so the
+    #: re-prune — the single largest steady-state wave cost — runs ~
+    #: slack0+1 times less often per row.  The reference prunes on every
+    #: overflow (GraphConnector.cs:209-211) because its rows are exactly
+    #: 2M wide; rows here may transiently hold up to 2M+slack0 edges
+    #: (searches simply read a few more lanes — row gathers are
+    #: row-count-bound on TPU, so the extra columns are ~free to
+    #: traverse).  Snapshot exports in reference formats re-prune
+    #: over-cap rows back to 2M first.
+    slack0: int = 0
 
     def max_degree(self, layer_is_base: bool) -> int:
         return 2 * self.max_edges if layer_is_base else self.max_edges
@@ -225,7 +241,7 @@ def empty_state(cfg: GraphConfig, capacity: int) -> GraphState:
         coarse=jnp.zeros((C if use_coarse else 0, D), jnp.bfloat16),
         norms=jnp.zeros((C,), jnp.float32),
         level=jnp.full((C,), -1, jnp.int32),
-        nbr0=jnp.full((C, 2 * cfg.max_edges), -1, jnp.int32),
+        nbr0=jnp.full((C, 2 * cfg.max_edges + cfg.slack0), -1, jnp.int32),
         deg0=jnp.zeros((C,), jnp.int32),
         nbru=jnp.full((L - 1, C, cfg.max_edges), -1, jnp.int32),
         degu=jnp.zeros((L - 1, C), jnp.int32),

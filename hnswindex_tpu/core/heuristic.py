@@ -113,6 +113,7 @@ def prune(metric: str,
           cand_norms: jnp.ndarray,   # (B, N) gathered norm data
           max_edges: int,
           force_mask: jnp.ndarray | None = None,
+          fill_to: int = 0,
           ):
     """Select up to ``max_edges`` diverse neighbors per row.
 
@@ -121,6 +122,14 @@ def prune(metric: str,
 
     ``force_mask`` (B,) optionally disables work for masked-out rows
     (their outputs are all -1 / 0).
+
+    ``fill_to`` (static, <= max_edges): rows whose diverse accept set came
+    out smaller than this are topped up with their nearest REJECTED
+    candidates (hnswlib's keepPrunedConnections).  The reference heuristic
+    has no fill (Heuristic.cs:22-41), so construction leaves it 0; the
+    removal repair path uses it to counter degree erosion under bulk
+    deletes, where the relative-neighbor rule near a dense removed hub
+    rejects most of the union and rows come back under-connected.
     """
     B, N = cand_ids.shape
     valid = cand_ids >= 0
@@ -198,4 +207,15 @@ def prune(metric: str,
     pos = jnp.where(accepted, pos, max_edges)  # dropped -> OOB column
     out = jnp.full((B, max_edges + 1), -1, jnp.int32)
     out = out.at[rows, pos].set(jnp.where(accepted, sid, -1), mode="drop")
+    if fill_to:
+        # top up under-connected rows with their nearest rejected
+        # candidates (ascending-distance order keeps determinism); the
+        # fill block lands right after the accepted block, so rows stay
+        # prefix-compact and the -1 padding invariant holds
+        rej = svalid & ~accepted
+        rrank = jnp.cumsum(rej, axis=1) - 1
+        take = rej & (rrank < (fill_to - count)[:, None])
+        fpos = jnp.where(take, count[:, None] + rrank, max_edges)
+        out = out.at[rows, fpos].set(jnp.where(take, sid, -1), mode="drop")
+        count = count + jnp.sum(take, axis=1, dtype=jnp.int32)
     return out[:, :max_edges], count

@@ -91,9 +91,14 @@ def make_query_pack(cfg: GraphConfig, state: GraphState,
     pack fits params.pack_max_bytes), chunked over rows so no full-width
     (C, K, D) f32 intermediate exists."""
     C = state.capacity
-    K = state.nbr0.shape[1]
+    # cap tiles at the 2M degree cap: with layer-0 slack columns
+    # (cfg.slack0) the table is wider, but the slack lanes hold only
+    # not-yet-repruned recent arrivals — replicating them would grow the
+    # pack's HBM footprint ~25% for edges the next overflow prune may
+    # discard
+    K = min(state.nbr0.shape[1], 2 * cfg.max_edges)
     D = cfg.dim
-    nbr0 = state.nbr0
+    nbr0 = state.nbr0[:, :K]
     safe = jnp.clip(nbr0, 0, C - 1)
 
     base = state.vectors

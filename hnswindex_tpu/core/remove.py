@@ -48,21 +48,37 @@ from .search import beam_search
 
 _INF = jnp.inf
 
+def _env_int(name: str, default: int) -> int:
+    import os
+    return int(os.environ.get(name, str(default)))
+
+
 #: Per affected node, union repair candidates of up to this many of its
 #: removed neighbors (covers the reference's per-in-edge union for all but
 #: pathological rows where most of a node's edges died in one wave).
-REPAIR_FANIN = 4
+#: Env-overridable (HNSW_REPAIR_*) for quality/cost sweeps.
+REPAIR_FANIN = _env_int("HNSW_REPAIR_FANIN", 4)
 
 #: Columns of each removed node's candidate list entering the union (the
 #: nearest ones; bounds the heuristic-prune width at K + FANIN * SPAN).
-REPAIR_SPAN = 32
+REPAIR_SPAN = _env_int("HNSW_REPAIR_SPAN", 32)
 
 #: Span for the fan-in-1 fast tier: affected rows that lost exactly one
 #: neighbor (the overwhelming majority when wave << corpus) repair against
 #: surviving-old ∪ that one neighbor's candidates — the same reference
 #: union (GraphConnector.cs:100-131), at a quarter of the prune width and
 #: ~10x less pairwise-distance work.
-REPAIR_SPAN_1 = 48
+REPAIR_SPAN_1 = _env_int("HNSW_REPAIR_SPAN_1", 48)
+
+#: Repair fill floor, as edges (0 disables).  After the heuristic prune,
+#: repaired rows that came back with fewer than this many edges are
+#: topped up with their nearest rejected candidates
+#: (heuristic.prune fill_to — hnswlib keepPrunedConnections; the
+#: reference heuristic never fills, so this is a deliberate
+#: quality-over-parity extension for bulk deletes, where rows near a
+#: removed hub lose most of their union to the relative-neighbor rule
+#: and the graph erodes).  Clamped to the layer cap at dispatch.
+REPAIR_FILL = _env_int("HNSW_REPAIR_FILL", 0)
 
 
 def _removed_mask(state: GraphState, rem_ids):
@@ -239,11 +255,13 @@ def _clear_rows_slice(nbr_l, deg_l, rem_ids):
             deg_l.at[rowd].set(0, mode="drop"))
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_deg", "fanin", "span"),
+@partial(jax.jit, static_argnames=("cfg", "max_deg", "fanin", "span",
+                                   "fill"),
          donate_argnames=("nbr_l", "deg_l"))
 def repair_chunk(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, chunk_ids,
                  rem_ids, scan_ids, scand, max_deg: int,
-                 fanin: int = REPAIR_FANIN, span: int = REPAIR_SPAN):
+                 fanin: int = REPAIR_FANIN, span: int = REPAIR_SPAN,
+                 fill: int = 0):
     """Re-select edges for a chunk of affected nodes at one layer.
 
     Operates on the layer's (C, K) table slice (``nbr_l``/``deg_l``,
@@ -313,7 +331,8 @@ def repair_chunk(cfg: GraphConfig, vlo, norms, nbr_l, deg_l, chunk_ids,
 
     cand = jnp.concatenate([jnp.where(surviving, old, -1),
                             jnp.where(sr_valid, srow, -1)], axis=1)
-    sel, cnt = _prune_rows(cfg, vlo, norms, chunk_ids, cand, ok, max_deg)
+    sel, cnt = _prune_rows(cfg, vlo, norms, chunk_ids, cand, ok, max_deg,
+                           fill_to=fill)
     selpad = jnp.full((B, K), -1, jnp.int32).at[:, :max_deg].set(sel)
     rowd = jnp.where(ok, chunk_ids, C)
     nbr_l = nbr_l.at[rowd].set(selpad, mode="drop")
@@ -340,7 +359,8 @@ def _writeback_layer(state: GraphState, nbr_l, deg_l, layer: int):
 
 
 def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scan_j,
-                 scand, max_deg: int, fanin: int, span: int):
+                 scand, max_deg: int, fanin: int, span: int,
+                 fill: int = 0):
     """Dispatch ``rows`` through repair_chunk in bucketed chunks,
     threading the donated layer slices."""
     import numpy as np
@@ -354,7 +374,8 @@ def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scan_j,
         cpad[:take.size] = take
         nbr_l, deg_l = repair_chunk(cfg, vlo, norms, nbr_l, deg_l,
                                     jnp.asarray(cpad), rem_j, scan_j,
-                                    scand, max_deg, fanin, span)
+                                    scand, max_deg, fanin, span,
+                                    min(fill, max_deg))
         i += take.size
     return nbr_l, deg_l
 
@@ -454,11 +475,12 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
             nbr_l, deg_l = _slice_layer(state, l)
             nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
                                         nbr_l, deg_l, fast, rem_j, scan_j,
-                                        scand, max_deg, 1, REPAIR_SPAN_1)
+                                        scand, max_deg, 1, REPAIR_SPAN_1,
+                                        REPAIR_FILL)
             nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
                                         nbr_l, deg_l, slow, rem_j, scan_j,
                                         scand, max_deg, REPAIR_FANIN,
-                                        REPAIR_SPAN)
+                                        REPAIR_SPAN, REPAIR_FILL)
             # removed nodes' own rows at this layer die with the repair
             # pass (the repair search above never traverses edges, so
             # ordering is safe)

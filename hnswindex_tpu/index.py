@@ -26,6 +26,7 @@ reference's scalar kernels (metric_test.py oracle comparisons at 1e-5).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -78,6 +79,17 @@ def resolve_pack_dtype(params, capacity: int, k: int, dim: int):
 # always gets the compact layout, and padding one item to 8 lanes is free.
 WAVE_BUCKETS = (8, 64, 512, 4096)
 UPPER_BUCKETS = (8, 64, 512)
+# steady-state waves chained per device launch (insert_wave_fused
+# k_waves).  Groups only form for full-width exact-path waves (the host
+# simulates the scheduler G waves ahead), so early-build quality and the
+# bucket ladder are untouched; grouped builds are bit-identical to
+# ungrouped (test_wave_scheduler.test_wave_grouping_equivalence).
+# DEFAULT 1 (off): a same-day 1M TPU A/B measured grouping at G=4
+# SLOWER (6,347/s vs 6,760/s steady) — per-launch latency was already
+# shown not to be the cap (benchmarks/RESULTS.md launch-count A/B), and
+# the 4x-unrolled program schedules worse.  Kept env-switchable for
+# re-measurement on healthier hosts/relays.
+WAVE_GROUP = int(os.environ.get("HNSW_WAVE_GROUP", "1"))
 QUERY_BUCKETS = (8, 16, 128, 1024)
 # range-search result-pool ladder; radii covering more than the cap are
 # answered by an exact scan instead of unbounded pool growth
@@ -143,6 +155,22 @@ def _next_pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
+def _lvl_bucket(max_lvl: int) -> int:
+    """Static layer-loop depth bucket for upper_connect_exact's max_lvl.
+
+    The wave's true top level is bucketed to {2, 4, full} so the fused
+    wave program compiles at most three depth variants.  At W=512 under
+    the exponential level law the wave max is <=2 ~87% of the time and
+    <=4 ~99.9%, so the full-depth variant is effectively reserved for
+    the rare tall wave.  Never returns a value below ``max_lvl`` (a
+    smaller bound would silently strip upper edges)."""
+    if max_lvl <= 2:
+        return 2
+    if max_lvl <= 4:
+        return 4
+    return 0
+
+
 #: Capacity (and scan-prefix) alignment quantum: the fused streaming scan
 #: (ops/fused_scan.py) requires its corpus prefix to be a multiple of
 #: 8 * FUSED_BS = 8192 rows.
@@ -194,7 +222,12 @@ class HNSWIndex:
             max_levels=max_levels, ef_construction=p.max_candidates,
             search_iter_factor=p.search_iter_factor,
             build_expand=p.build_expand,
-            rank_dtype=resolve_rank_dtype(p.rank_dtype))
+            rank_dtype=resolve_rank_dtype(p.rank_dtype),
+            # clamp to M//2 so degenerate-M configs keep the reference's
+            # parameter bands (at M=1 a +8 slack would 5x the row width
+            # and visibly boost the reference's deliberately-poor
+            # low-connectivity recall, parameters_test.py:24-33)
+            slack0=min(p.reverse_slack, p.max_edges // 2))
         self._state = G.empty_state(self._cfg, capacity)
         seed = p.random_seed if p.random_seed >= 0 else None
         self._rng = np.random.default_rng(seed)
@@ -309,8 +342,40 @@ class HNSWIndex:
             n_dev = jnp.asarray(ntot, jnp.int32)
             cur = jnp.zeros((), jnp.int32)
             k = 0
+            mw_full = min(self.params.max_wave_size, WAVE_BUCKETS[-1])
             while k < ntot:
                 built = self._count_host
+                # steady-state wave GROUPING: chain WAVE_GROUP full-width
+                # waves in one launch (insert_wave_fused k_waves) —
+                # per-launch relay latency is ~15-20 ms on a program
+                # carrying the GraphState pytree, a fifth of the ~80 ms
+                # wave.  Grouping is only taken when the host's exact
+                # scheduler simulation shows G uniform-width waves with
+                # upper counts inside the ladder, so the device's own
+                # wave_head arithmetic matches wave-for-wave and only two
+                # program variants exist (grouped steady + single ladder).
+                grp = WAVE_GROUP
+                if (grp > 1 and built >= mw_full
+                        and ntot - k >= grp * mw_full
+                        and not dst.is_custom(self.metric)
+                        and self._count_host + grp * mw_full
+                        <= self.params.exact_build_threshold):
+                    lv_g = lvls[i + j + k:i + j + k + grp * mw_full]
+                    per_up = (lv_g >= 1).reshape(grp, mw_full).sum(axis=1)
+                    if (mw_full <= UPPER_BUCKETS[-1]
+                            or per_up.max() <= UPPER_BUCKETS[-1]):
+                        b = _bucket(mw_full, WAVE_BUCKETS)
+                        self._scan_hwm = max(
+                            self._scan_hwm,
+                            int(hwm[j + k + grp * mw_full - 1]))
+                        with profiler.phase(phase):
+                            cur = self._insert_wave_dev(
+                                dids, dvecs, dlvls, cur, n_dev, b,
+                                int(per_up.max()), k_waves=grp,
+                                max_lvl=int(lv_g.max()))
+                        self._count_host += grp * mw_full
+                        k += grp * mw_full
+                        continue
                 # mirror wave_head EXACTLY: clamp to the static bucket
                 # ladder top (an unclamped host width silently dropped the
                 # tail of any wave wider than WAVE_BUCKETS[-1]) and bound
@@ -324,11 +389,14 @@ class HNSWIndex:
                                             side="right"))
                 b = _bucket(w, WAVE_BUCKETS)
                 up_cnt = int(upc[w - 1]) if w else 0
+                ml = int(lvls[i + j + k:i + j + k + w].max()) \
+                    if up_cnt else 0
                 self._scan_hwm = max(self._scan_hwm,
                                      int(hwm[j + k + w - 1]))
                 with profiler.phase(phase):
                     cur = self._insert_wave_dev(dids, dvecs, dlvls, cur,
-                                                n_dev, b, up_cnt)
+                                                n_dev, b, up_cnt,
+                                                max_lvl=ml)
                 self._count_host += w
                 k += w
             j += ntot
@@ -428,10 +496,15 @@ class HNSWIndex:
             self._panel_append(np.asarray([node], np.int32))
 
     def _insert_wave_dev(self, dids, dvecs, dlvls, cur, n_dev,
-                         bucket: int, up_cnt: int):
+                         bucket: int, up_cnt: int, k_waves: int = 1,
+                         max_lvl: int = 0):
         """Upload-free wave insert: slice the wave from the device-resident
         batch (construct.wave_head), compact its upper members on device
         (construct.upper_compact), then run the usual three phase programs.
+        ``k_waves > 1`` chains that many consecutive waves in one exact-path
+        launch (``up_cnt`` is then the max over the group's waves).
+        ``max_lvl`` is the wave's (group-max) top level; the exact path
+        bounds the upper phase's layer loop to its bucket (_lvl_bucket).
         Returns the advanced device cursor."""
         from .core.construct import upper_compact, wave_head
 
@@ -450,8 +523,10 @@ class HNSWIndex:
             bu = _bucket(up_cnt, UPPER_BUCKETS) if up_cnt else 0
             self._state, cur = insert_wave_fused(
                 cfg, self._state, dids, dvecs, dlvls, cur, n_dev,
-                self._upper_ids, bucket, bu, mw, nscan, mu)
+                self._upper_ids, bucket, bu, mw, nscan, mu, k_waves,
+                _lvl_bucket(max_lvl) if bu else 0)
             return cur
+        assert k_waves == 1, "wave grouping is an exact-path optimization"
         wid, wvec, wlvl, valid, cur = wave_head(
             self._state.count, dids, dvecs, dlvls, cur, n_dev, bucket,
             mw, mu)
@@ -504,7 +579,8 @@ class HNSWIndex:
             if use_exact:
                 self._state = upper_connect_exact(
                     cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
-                    jnp.asarray(uval), self._upper_ids)
+                    jnp.asarray(uval), self._upper_ids,
+                    _lvl_bucket(int(wlvl[up].max())))
             else:
                 self._state, ue = upper_connect(
                     cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
@@ -623,7 +699,9 @@ class HNSWIndex:
             return self._pack
         from .core import pack as PK
         C = self._state.capacity
-        K = self._state.nbr0.shape[1]
+        # pack tiles are capped at the 2M degree cap (core/pack.build_pack
+        # slices off the reverse_slack columns)
+        K = min(self._state.nbr0.shape[1], 2 * self.params.max_edges)
         res_dtype = resolve_pack_dtype(self.params, C, K, self.dim)
         if res_dtype is None:
             return None
@@ -1108,7 +1186,10 @@ class HNSWIndex:
             ef_construction=params.max_candidates,
             search_iter_factor=params.search_iter_factor,
             build_expand=params.build_expand,
-            rank_dtype=resolve_rank_dtype(params.rank_dtype))
+            rank_dtype=resolve_rank_dtype(params.rank_dtype),
+            # the stored table is authoritative (a snapshot written under
+            # a different reverse_slack must keep its own layout)
+            slack0=state.nbr0.shape[1] - 2 * params.max_edges)
         idx._state = state._replace(
             vlo_store=G.make_vlo(idx._cfg.rank_dtype, state.vectors),
             coarse=G.make_coarse(idx._cfg, state.vectors))
@@ -1186,8 +1267,21 @@ class HNSWIndex:
         from .core import refsnap
 
         st = self._state
-        nbr0 = np.asarray(st.nbr0)
+        # the reference caps layer-0 rows at exactly 2M; rows that are
+        # transiently over-cap (reverse_slack absorption) are re-pruned on
+        # a COPY for export — the live graph is untouched
+        cap0 = 2 * self.params.max_edges
         deg0 = np.asarray(st.deg0)
+        over = np.flatnonzero(deg0[:self._length] > cap0).astype(np.int32)
+        if over.size:
+            from .core.construct import normalize_base_rows
+            nbr0_j, deg0_j = normalize_base_rows(
+                self._cfg, st.vlo, st.norms, st.nbr0 + 0, st.deg0 + 0,
+                over)
+            nbr0 = np.asarray(nbr0_j)[:, :cap0]
+            deg0 = np.asarray(deg0_j)
+        else:
+            nbr0 = np.asarray(st.nbr0)[:, :cap0]
         nbru = np.asarray(st.nbru)
         degu = np.asarray(st.degu)
         lvl = np.asarray(st.level)

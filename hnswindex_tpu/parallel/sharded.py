@@ -54,7 +54,7 @@ from ..core.construct import insert_wave_beam_fused, insert_wave_fused
 from ..core.search import beam_search, greedy_descent, knn_search, \
     range_search
 from ..index import MIRROR_MAX_BYTES, SCAN_FLOOR, UPPER_BUCKETS, \
-    WAVE_BUCKETS, _bucket, _next_pow2
+    WAVE_BUCKETS, _bucket, _lvl_bucket, _next_pow2
 from ..ops import distance as dst
 from ..params import HNSWParameters
 from ..utils.refine import refine_pairs
@@ -98,7 +98,10 @@ class ShardedIndex:
             max_levels=max_levels, ef_construction=p.max_candidates,
             search_iter_factor=p.search_iter_factor,
             build_expand=p.build_expand,
-            rank_dtype=resolve_rank_dtype(p.rank_dtype))
+            rank_dtype=resolve_rank_dtype(p.rank_dtype),
+            # clamped like the single-chip index (reference parameter
+            # bands at degenerate M)
+            slack0=min(p.reverse_slack, p.max_edges // 2))
 
         state0 = G.empty_state(self._cfg, local_cap)
         shspec = jax.tree.map(
@@ -289,7 +292,7 @@ class ShardedIndex:
     # ------------------------------------------------------------------
 
     def _fused_wave_fn(self, exact: bool, bucket: int, ubucket: int,
-                       nscan: int, mw: int, mu: int):
+                       nscan: int, mw: int, mu: int, max_lvl: int = 0):
         """One SPMD launch running every shard's fused wave: exact MXU
         candidates (construct.insert_wave_fused — the single-chip build's
         decisive quality/speed win, VERDICT r2 #1) or the fused beam twin
@@ -304,7 +307,8 @@ class ShardedIndex:
                 if exact:
                     out, c2 = insert_wave_fused(
                         cfg, local, dids[0], dvecs[0], dlvls[0], cur[0],
-                        ntot[0], panel[0], bucket, ubucket, mw, nscan, mu)
+                        ntot[0], panel[0], bucket, ubucket, mw, nscan, mu,
+                        max_lvl=max_lvl)
                 else:
                     out, c2 = insert_wave_beam_fused(
                         cfg, local, dids[0], dvecs[0], dlvls[0], cur[0],
@@ -318,7 +322,7 @@ class ShardedIndex:
                            (self._state_specs(), P("shard"))),
                 donate_argnums=(0,))
         return self._cached(("fwave", exact, bucket, ubucket, nscan, mw,
-                             mu), build)
+                             mu, max_lvl), build)
 
     def add(self, vecs) -> np.ndarray:
         """Round-robin shard assignment + per-shard insert waves run as one
@@ -478,6 +482,13 @@ class ShardedIndex:
                 bucket = _bucket(int(w.max()), WAVE_BUCKETS)
                 bu = _bucket(int(upcnt.max()), UPPER_BUCKETS) \
                     if upcnt.any() else 0
+                # bound the upper phase's layer loop to the wave's top
+                # level across shards (bucketed — see index._lvl_bucket)
+                ml = 0
+                if bu:
+                    ml = _lvl_bucket(max(
+                        int(lvl_h[s, k[s]:k[s] + w[s]].max())
+                        for s in range(S) if w[s]))
                 exact = exactable and int(built.max()) <= thresh
                 nscan = 0
                 if exact:
@@ -489,7 +500,8 @@ class ShardedIndex:
                                        _next_pow2(self._shwm)))
                 if self._wave_trace is not None:
                     self._wave_trace.append(w.copy())
-                fn = self._fused_wave_fn(exact, bucket, bu, nscan, mw, mu)
+                fn = self._fused_wave_fn(exact, bucket, bu, nscan, mw, mu,
+                                         ml if exact else 0)
                 self._state, cur = fn(self._state, dids, dvecs, dlvls,
                                       cur, ntot, panel)
                 built += w
@@ -556,7 +568,8 @@ class ShardedIndex:
         from ..core import pack as PK
         S = self.n_shards
         C = self.shard_capacity
-        K = self._state.nbr0.shape[2]
+        # pack tiles cap at 2M (build_pack slices off reverse_slack lanes)
+        K = min(self._state.nbr0.shape[2], 2 * self.params.max_edges)
         # the budget (and hence the dtype resolution) applies PER SHARD —
         # each device holds its own pack slice
         from ..index import resolve_pack_dtype

@@ -118,6 +118,20 @@ class HNSWParameters:
     #: are always refined in full precision either way.
     rank_dtype: str = "auto"
 
+    #: Extra layer-0 row columns beyond the 2M degree cap (GraphConfig
+    #: slack0).  Full rows absorb up to this many reverse arrivals into
+    #: the spare columns before the overflow re-prune fires, amortizing
+    #: the single largest steady-state wave cost ~(slack0+1)x per row.
+    #: Node degrees may transiently reach 2M+slack0 (the reference caps
+    #: at exactly 2M and re-prunes on every overflow; snapshot exports in
+    #: reference formats re-prune over-cap rows first).  Searches read a
+    #: few extra row lanes, which is ~free: TPU row gathers are
+    #: row-count-bound, not byte-bound.  0 restores the reference
+    #: trigger exactly.  The effective slack is clamped to max_edges//2
+    #: so degenerate-M configs keep the reference's parameter bands
+    #: (e.g. M=1's deliberately-poor recall, parameters_test.py:24-33).
+    reverse_slack: int = 8
+
     def validate(self) -> None:
         if self.max_edges < 1:
             raise ValueError("max_edges must be >= 1")
@@ -133,3 +147,5 @@ class HNSWParameters:
             raise ValueError("max_wave_size must be >= 1")
         if self.pack_dtype not in ("bf16", "f32", "auto"):
             raise ValueError("pack_dtype must be 'bf16', 'f32' or 'auto'")
+        if self.reverse_slack < 0:
+            raise ValueError("reverse_slack must be >= 0")

@@ -100,7 +100,9 @@ def test_facade_build_row_invariants(path):
     nbr, deg = G2.dense_tables(idx._state)
     lvl = np.asarray(idx._state.level)
     for l in range(nbr.shape[0]):
-        cap = 2 * 8 if l == 0 else 8
+        # layer 0 may transiently exceed the 2M cap by reverse_slack
+        # columns between overflow re-prunes (params.reverse_slack)
+        cap = 2 * 8 + idx.params.reverse_slack if l == 0 else 8
         for u in np.nonzero(lvl >= l)[0]:
             d = deg[l, u]
             row = nbr[l, u]

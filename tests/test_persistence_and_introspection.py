@@ -114,7 +114,9 @@ def test_get_info_edge_balance(built):
     total = 0
     for li in info.layers:
         assert li.nodes_count > 0
-        cap = 32 if li.layer_id == 0 else 16
+        # layer 0 may transiently exceed 2M by the effective reverse
+        # slack between overflow re-prunes (params.reverse_slack)
+        cap = 32 + index._impl._cfg.slack0 if li.layer_id == 0 else 16
         assert li.max_out_edges <= cap
         # in/out edge totals balance per layer (GraphTests.cs:34-36
         # invariant AvgOutEdges == AvgInEdges) — exact because in-degrees

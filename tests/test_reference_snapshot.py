@@ -125,11 +125,20 @@ def test_independent_codec_reads_our_bytes(built):
     # spot-check graph rows + the in/out mirror invariant
     from hnswindex_tpu.core.graph import dense_tables
     nbr, deg = dense_tables(idx._state)
+    cap0 = 2 * idx.params.max_edges
     for node in list(snap.data.nodes)[:50]:
         s = node.id
         for l, e in enumerate(node.out_edges):
             got = list(e.buffer)[:e.count]
-            assert got == list(nbr[l, s, :deg[l, s]])
+            if l == 0 and deg[0, s] > cap0:
+                # live rows may transiently exceed the reference's 2M cap
+                # (params.reverse_slack); the export re-prunes them back
+                # to <= 2M, selecting from the live row's edges
+                assert len(got) <= cap0
+                assert set(got) <= set(int(x) for x in
+                                       nbr[0, s, :deg[0, s]])
+            else:
+                assert got == list(nbr[l, s, :deg[l, s]])
         for l, e in enumerate(node.in_edges):
             for src in list(e.buffer)[:e.count]:
                 assert s in list(nbr[l, src, :deg[l, src]])

@@ -214,7 +214,9 @@ def test_mixed_churn_invariants():
         act = np.asarray(st.active)
         L = nbr.shape[0]
         for l in range(L):
-            cap = 2 * M if l == 0 else M
+            # layer-0 rows may transiently hold up to reverse_slack extra
+            # edges between overflow re-prunes (params.reverse_slack)
+            cap = 2 * M + ix.params.reverse_slack if l == 0 else M
             on = act & (lvl >= l)
             assert deg[l][on].max(initial=0) <= cap, (tag, l)
             for u in np.nonzero(on)[0][:40]:

@@ -103,6 +103,55 @@ def test_reverse_compaction_equivalence(monkeypatch):
         assert np.array_equal(a, b)
 
 
+def test_wave_grouping_equivalence(monkeypatch):
+    """K waves chained in one launch (insert_wave_fused k_waves) must
+    produce graphs bit-identical to K separate launches: every wave
+    quantity is device-derived, so the composed program is literally the
+    same computation."""
+    rng = np.random.default_rng(123)
+    n, dim = 400, 16
+    vecs = rng.random((n, dim), dtype=np.float32)
+
+    def build(group):
+        monkeypatch.setattr(IX, "WAVE_GROUP", group)
+        idx = HNSWIndex(dim, parameters=HNSWParameters(
+            collection_size=512, max_wave_size=8))
+        idx.add(vecs)
+        assert idx.count == n
+        assert int(np.asarray(idx._state.count)) == n
+        return (np.asarray(idx._state.nbr0), np.asarray(idx._state.deg0),
+                np.asarray(idx._state.nbru), np.asarray(idx._state.degu))
+
+    single = build(1)
+    grouped = build(4)
+    for a, b in zip(single, grouped):
+        assert np.array_equal(a, b)
+
+
+def test_upper_depth_bound_equivalence(monkeypatch):
+    """Bounding upper_connect_exact's layer loop to the wave's bucketed
+    top level (max_lvl / index._lvl_bucket) must be a pure no-op: layers
+    above every member's level connect nothing, so the bounded build is
+    bit-identical to the full-depth build."""
+    rng = np.random.default_rng(7)
+    n, dim = 500, 16
+    vecs = rng.random((n, dim), dtype=np.float32)
+
+    def build():
+        idx = HNSWIndex(dim, parameters=HNSWParameters(
+            collection_size=512, max_wave_size=64))
+        idx.add(vecs)
+        assert idx.count == n
+        return (np.asarray(idx._state.nbr0), np.asarray(idx._state.deg0),
+                np.asarray(idx._state.nbru), np.asarray(idx._state.degu))
+
+    bounded = build()                       # default bucketed depth
+    monkeypatch.setattr(IX, "_lvl_bucket", lambda ml: 0)
+    full = build()                          # all L-1 layers every wave
+    for a, b in zip(bounded, full):
+        assert np.array_equal(a, b)
+
+
 def test_build_with_upper_overflow_waves(monkeypatch):
     """A level distribution dense enough to overflow the upper-lane
     ladder splits waves instead of stripping upper edges."""
