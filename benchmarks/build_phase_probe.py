@@ -3,7 +3,7 @@
 Seeds a small graph inside an 8M-capacity index, jumps the exact-scan
 high-water mark to full capacity (the only corpus-size-dependent wave
 cost), then times the three per-wave device programs exactly as
-production dispatches them (hnswindex_tpu.index._insert_wave), with a
+production dispatched them pre-fusion (the modern fused-wave attribution lives in wave_phase_probe.py), with a
 forced sync after each.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \

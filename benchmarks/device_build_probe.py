@@ -6,7 +6,7 @@ H2D rate (measured 2.9-18 MB/s depending on the day), which caps the
 apparent insert rate at ~6-40k/s REGARDLESS of device speed: a 1M x
 128-d f32 build ships 512 MB.  On production hardware (chip-local host,
 PCIe) ingestion is >10 GB/s and irrelevant.  This probe feeds
-`_insert_wave` from device-resident slices so the number reflects the
+`_insert_wave_dev` from device-resident slices so the number reflects the
 engine, not the tunnel.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site \

@@ -46,6 +46,23 @@ from .search import beam_search, greedy_descent
 _INF = jnp.inf
 _PRUNE_CHUNK = 1024
 
+def _env_int(name: str, default: int) -> int:
+    import os
+    return int(os.environ.get(name, str(default)))
+
+
+#: Capacity from which FULL-WIDTH steady waves run the candidate scan
+#: two-stage (bf16 coarse + f32 rescore, ops/bruteforce.exact_knn2 — the
+#: fused streaming lane-min form when the prefix is 8192-aligned)
+#: instead of the blocked single-stage exact_knn.  The blocked form
+#: issues one narrow approx_min_k per 64k corpus block plus a
+#: (W, 16*4k)-survivor argsort merge: at nscan=1M that measured ~21 ms
+#: of the ~40 ms wave vs ~8 ms for the fused scan
+#: (benchmarks/wave_phase_probe.py, 2026-08-19).  Env
+#: HNSW_BUILD_SCAN2_MIN; see the ``scan2`` gate in base_connect_exact
+#: for why only the steady bucket takes it below 2M.
+BUILD_SCAN2_MIN = _env_int("HNSW_BUILD_SCAN2_MIN", 1 << 20)
+
 
 def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
                 mask, max_deg: int, fill_to: int = 0):
@@ -414,13 +431,13 @@ def upper_compact(wid, wlvl, valid, ubucket: int):
 
 @partial(jax.jit, static_argnames=("cfg", "bucket", "ubucket", "max_wave",
                                    "nscan", "max_up", "k_waves",
-                                   "max_lvl"),
+                                   "max_lvl", "scan2"),
          donate_argnames=("state",))
 def insert_wave_fused(cfg: GraphConfig, state: GraphState, dids, dvecs,
                       dlvls, cur, n_total, panel_ids, bucket: int,
                       ubucket: int, max_wave: int, nscan: int | None,
                       max_up: int = 1 << 30, k_waves: int = 1,
-                      max_lvl: int = 0):
+                      max_lvl: int = 0, scan2: bool = False):
     """One-launch exact-path wave insert: wave_head + scatter_wave +
     upper_connect_exact + base_connect_exact composed into a single
     device program.
@@ -457,7 +474,7 @@ def insert_wave_fused(cfg: GraphConfig, state: GraphState, dids, dvecs,
             state = upper_connect_exact(cfg, state, uid, ulvl, uval,
                                         panel_ids, max_lvl)
         state = base_connect_exact(cfg, state, wid, wlvl, valid,
-                                   nscan=nscan)
+                                   nscan=nscan, scan2=scan2)
     return state, cur
 
 
@@ -691,10 +708,11 @@ def base_connect(cfg: GraphConfig, state: GraphState, ids, lvls, valid,
         count=state.count + jnp.sum(valid, dtype=jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cfg", "nscan"),
+@partial(jax.jit, static_argnames=("cfg", "nscan", "scan2"),
          donate_argnames=("state",))
 def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
-                       valid, nscan: int | None = None):
+                       valid, nscan: int | None = None,
+                       scan2: bool = False):
     """Phase 3 (exact variant): layer-0 connections from *exact* MXU
     brute-force candidates instead of beam search.
 
@@ -726,7 +744,17 @@ def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
     # ids; the f32 rescore inside exact_knn2 gathers from the full store.
     ns = C if nscan is None else min(nscan, C)
     ct = state.coarse_table
-    if ct is not None and C >= (1 << 21):
+    # Two-stage scan gating: always from 2M rows (the blocked f32-panel
+    # form would OOM/crawl); below that only when the host asks
+    # (``scan2`` — set for full-width steady waves at >= BUILD_SCAN2_MIN
+    # capacity).  The host limits scan2 to the steady bucket because
+    # every (bucket, ubucket) program variant embedding the fused Pallas
+    # scan pays a much slower XLA compile — letting the early bucket
+    # ladder embed it turned a 1M build's seed phase into ~10 slow
+    # compiles (>900 s total through the relay) for rows that account
+    # for <1% of the build.
+    if ct is not None and (C >= (1 << 21)
+                           or (scan2 and C >= BUILD_SCAN2_MIN)):
         cd, ci = exact_knn2(cfg.metric, state.vectors, ct[:ns],
                             state.norms[:ns], state.active[:ns], vecs,
                             cfg.ef_construction, exclude=ids)

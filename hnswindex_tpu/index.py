@@ -35,9 +35,7 @@ import numpy as np
 from .core import graph as G
 from .core import remove as R
 from .core import snapshot, stats
-from .core.construct import (base_connect, base_connect_exact,
-                             scatter_wave, upper_connect,
-                             upper_connect_exact)
+from .core.construct import base_connect, scatter_wave, upper_connect
 from .core.search import knn_search, range_search
 from .ops import distance as dst
 from .params import HNSWParameters
@@ -521,10 +519,15 @@ class HNSWIndex:
             nscan = min(self._state.capacity,
                         max(SCAN_FLOOR, _next_pow2(self._scan_hwm)))
             bu = _bucket(up_cnt, UPPER_BUCKETS) if up_cnt else 0
+            # two-stage fused candidate scan, FULL-WIDTH waves only: the
+            # early bucket ladder keeps the cheap-compiling blocked scan
+            # (each program variant embedding the Pallas scan compiles
+            # ~10x slower; construct.base_connect_exact's scan2 note)
+            scan2 = bucket >= mw
             self._state, cur = insert_wave_fused(
                 cfg, self._state, dids, dvecs, dlvls, cur, n_dev,
                 self._upper_ids, bucket, bu, mw, nscan, mu, k_waves,
-                _lvl_bucket(max_lvl) if bu else 0)
+                _lvl_bucket(max_lvl) if bu else 0, scan2)
             return cur
         assert k_waves == 1, "wave grouping is an exact-path optimization"
         wid, wvec, wlvl, valid, cur = wave_head(
@@ -543,59 +546,6 @@ class HNSWIndex:
         self._state = base_connect(cfg, self._state, wid, wlvl, valid,
                                    up_lanes, ue)
         return cur
-
-    def _insert_wave(self, wid, wvec, wlvl, valid) -> None:
-        """Three-phase wave insert: scatter, narrow upper-layer connect,
-        full-width base connect.  Upper items (~1/M of a wave) are
-        compacted into a small lane bucket so the per-layer beam machinery
-        is not paid at whole-wave width for nearly-empty layers."""
-        cfg = self._cfg
-        b = wid.shape[0]
-        # exact MXU candidates need a dot-decomposable metric; custom
-        # metrics build through the beam path
-        use_exact = (self._count_host <= self.params.exact_build_threshold
-                     and not dst.is_custom(self.metric))
-        self._state = scatter_wave(cfg, self._state, jnp.asarray(wid),
-                                   jnp.asarray(wvec), jnp.asarray(wlvl),
-                                   jnp.asarray(valid))
-        self._scan_hwm = max(self._scan_hwm, int(wid[valid].max()) + 1)
-        up = np.flatnonzero((wlvl >= 1) & valid)
-        if not dst.is_custom(self.metric):
-            # keep the panel current even on beam-path waves: removals can
-            # drop the count back under the exact threshold later
-            self._panel_append(wid[up])
-        up_lanes = np.full(1, -1, dtype=np.int32)
-        ue = jnp.full((1,), -1, jnp.int32)
-        if up.size:
-            bu = _bucket(up.size, UPPER_BUCKETS)
-            uid = np.full(bu, -1, dtype=np.int32)
-            ulvl = np.zeros(bu, dtype=np.int32)
-            uval = np.zeros(bu, dtype=bool)
-            lanes = np.full(bu, -1, dtype=np.int32)
-            uid[:up.size] = wid[up]
-            ulvl[:up.size] = wlvl[up]
-            uval[:up.size] = True
-            lanes[:up.size] = up
-            if use_exact:
-                self._state = upper_connect_exact(
-                    cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
-                    jnp.asarray(uval), self._upper_ids,
-                    _lvl_bucket(int(wlvl[up].max())))
-            else:
-                self._state, ue = upper_connect(
-                    cfg, self._state, jnp.asarray(uid), jnp.asarray(ulvl),
-                    jnp.asarray(uval))
-                up_lanes = lanes
-        if use_exact:
-            nscan = min(self._state.capacity,
-                        max(SCAN_FLOOR, _next_pow2(self._scan_hwm)))
-            self._state = base_connect_exact(
-                cfg, self._state, jnp.asarray(wid), jnp.asarray(wlvl),
-                jnp.asarray(valid), nscan=nscan)
-        else:
-            self._state = base_connect(
-                cfg, self._state, jnp.asarray(wid), jnp.asarray(wlvl),
-                jnp.asarray(valid), jnp.asarray(up_lanes), ue)
 
     # ------------------------------------------------------------------
     # removal

@@ -308,7 +308,7 @@ class ShardedIndex:
                     out, c2 = insert_wave_fused(
                         cfg, local, dids[0], dvecs[0], dlvls[0], cur[0],
                         ntot[0], panel[0], bucket, ubucket, mw, nscan, mu,
-                        max_lvl=max_lvl)
+                        max_lvl=max_lvl, scan2=bucket >= mw)
                 else:
                     out, c2 = insert_wave_beam_fused(
                         cfg, local, dids[0], dvecs[0], dlvls[0], cur[0],

@@ -123,3 +123,50 @@ def test_entry_point_is_max_level():
     lvl = np.asarray(state.level)
     ep = int(state.ep)
     assert lvl[ep] == lvl.max()
+
+
+def test_scan2_steady_wave_equivalence(monkeypatch):
+    """Full-width steady waves routed through the two-stage candidate
+    scan (construct.base_connect_exact scan2=True -> exact_knn2) build a
+    graph equivalent to the blocked exact_knn path: same invariants,
+    recall within noise.  Production turns scan2 on from 1M rows
+    (construct.BUILD_SCAN2_MIN); the threshold is patched down so the
+    CPU suite covers the branch (exact_knn2 takes its panel fallback
+    here — the fused Pallas form needs the TPU backend)."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+    from hnswindex_tpu.core import construct as CT
+    from hnswindex_tpu.core import graph as G2
+
+    rng = np.random.default_rng(7)
+    n, dim = 1536, 16
+    vecs = rng.random((n, dim), dtype=np.float32)
+
+    def build_idx():
+        p = HNSWParameters(collection_size=n, max_edges=8,
+                           max_candidates=40, random_seed=31337)
+        idx = HNSWIndex(dim, parameters=p)
+        idx.add(vecs)
+        return idx
+
+    base = build_idx()
+    monkeypatch.setattr(CT, "BUILD_SCAN2_MIN", 256)
+    two = build_idx()
+
+    def recall(idx):
+        qi, _ = idx.knn_query(vecs[:256], k=1)
+        return float((qi[:, 0] == np.arange(256)).mean())
+
+    r_base, r_two = recall(base), recall(two)
+    assert r_two >= r_base - 0.03, (r_base, r_two)
+
+    nbr, deg = G2.dense_tables(two._state)
+    lvl = np.asarray(two._state.level)
+    for l in range(nbr.shape[0]):
+        cap = 2 * 8 + two.params.reverse_slack if l == 0 else 8
+        for u in np.nonzero(lvl >= l)[0]:
+            d = deg[l, u]
+            row = nbr[l, u]
+            assert d <= cap
+            assert np.all(row[d:] == -1)
+            assert u not in row[:d]
+            assert len(set(row[:d].tolist())) == d
