@@ -60,6 +60,103 @@ def _layer_degrees(cfg: GraphConfig, state: GraphState, layer: int):
     return jnp.where(on_layer, deg_l, 0), indeg, on_layer
 
 
+#: In-degree histogram width for the device-side stats reduction.  The
+#: last bucket collects every in-degree >= _IN_HIST_W - 1; an exact sum
+#: of those overflow values rides along so averages stay exact, and the
+#: (never-seen-in-practice) case of the MEDIAN landing in the overflow
+#: bucket falls back to the full per-node readback.
+_IN_HIST_W = 1024
+
+
+def _degree_hist_vec(state: GraphState, layer: int) -> jnp.ndarray:
+    """Flat i32 stats vector for one layer, so GetInfo costs one ~4 KB
+    readback instead of three (C,) arrays (128 MB/layer at 8M rows
+    through a 10-18 MB/s relay).  Layout:
+
+    ``[n, out_max, out_min, in_max, in_min, in_overflow_sum,
+       out_hist(row_width+1), in_hist(_IN_HIST_W)]``
+
+    Out-degrees are bounded by the neighbor-row width, so their
+    histogram is complete; medians and means are recovered exactly on
+    the host from the histograms (see ``_hist_stats``)."""
+    from .graph import nbr_slice
+
+    C = state.capacity
+    nbr_l, deg_l = nbr_slice(state, layer)
+    on = state.active & (state.level >= layer)
+    valid_edge = (nbr_l >= 0) & on[:, None]
+    indeg = jnp.zeros((C + 1,), jnp.int32).at[
+        jnp.where(valid_edge, nbr_l, C)].add(1)[:C]
+    od = jnp.where(on, deg_l, 0)
+    idg = jnp.where(on, indeg, 0)
+    wout = int(nbr_l.shape[1]) + 1
+    big = jnp.iinfo(jnp.int32).max
+    ohist = jnp.zeros((wout,), jnp.int32).at[
+        jnp.where(on, od, wout)].add(1, mode="drop")
+    ihist = jnp.zeros((_IN_HIST_W,), jnp.int32).at[
+        jnp.where(on, jnp.minimum(idg, _IN_HIST_W - 1),
+                  _IN_HIST_W)].add(1, mode="drop")
+    over = jnp.sum(jnp.where(on & (idg >= _IN_HIST_W - 1), idg, 0),
+                   dtype=jnp.int32)
+    head = jnp.stack([
+        jnp.sum(on, dtype=jnp.int32),
+        jnp.max(jnp.where(on, od, -1)),
+        jnp.min(jnp.where(on, od, big)),
+        jnp.max(jnp.where(on, idg, -1)),
+        jnp.min(jnp.where(on, idg, big)),
+        over,
+    ])
+    return jnp.concatenate([head, ohist, ihist])
+
+
+@partial(jax.jit, static_argnames=("layer",))
+def _layer_hist(state: GraphState, layer: int) -> jnp.ndarray:
+    return _degree_hist_vec(state, layer)
+
+
+@partial(jax.jit, static_argnames=("layer",))
+def _layer_hist_sharded(state: GraphState, layer: int) -> jnp.ndarray:
+    """(S, vec) stats for every shard of a stacked GraphState in one
+    program — the sharded GetInfo aggregates shards on the host from
+    one small readback instead of 3 x S x layers device syncs."""
+    return jax.vmap(lambda s: _degree_hist_vec(s, layer))(state)
+
+
+def _hist_median(hist: np.ndarray, n: int) -> int:
+    """Median of n degree samples from their histogram (exact; matches
+    the reference's sorted-array convention: even n averages the two
+    middle ranks with integer division — HNSWInfo.cs:45-51)."""
+    c = np.cumsum(hist)
+    hi = int(np.searchsorted(c, n // 2 + 1))
+    if n % 2:
+        return hi
+    lo = int(np.searchsorted(c, n // 2))
+    return (lo + hi) // 2
+
+
+def _hist_stats(vec: np.ndarray, wout: int):
+    """Host-side unpack of one (possibly shard-summed) stats vector ->
+    (n, LayerInfo fields) or None when the in-degree median overflows
+    the histogram (caller falls back to the full readback)."""
+    n = int(vec[0])
+    if n == 0:
+        return None
+    ohist = vec[6:6 + wout].astype(np.int64)
+    ihist = vec[6 + wout:].astype(np.int64)
+    osum = int(np.dot(np.arange(wout), ohist))
+    isum = int(np.dot(np.arange(_IN_HIST_W - 1), ihist[:-1])) + int(vec[5])
+    omed = _hist_median(ohist, n)
+    imed = _hist_median(ihist, n)
+    in_max = int(vec[3])
+    if imed >= _IN_HIST_W - 1 and in_max > _IN_HIST_W - 1:
+        return "overflow"
+    return dict(nodes_count=n,
+                max_out_edges=int(vec[1]), min_out_edges=int(vec[2]),
+                max_in_edges=in_max, min_in_edges=int(vec[4]),
+                avg_out_edges=osum / n, avg_in_edges=isum / n,
+                out_edges_median=omed, in_edges_median=imed)
+
+
 def graph_info(cfg: GraphConfig, state: GraphState,
                report_in_edges: bool = True) -> HNSWInfo:
     """Build per-layer degree stats (HNSWIndex.GetInfo, HNSWIndex.cs:192).
@@ -73,28 +170,50 @@ def graph_info(cfg: GraphConfig, state: GraphState,
     top = int(np.asarray(state.level)[ep])
     layers = []
     for l in range(top + 1):
-        outd, ind, on_layer = _layer_degrees(cfg, state, l)
-        on = np.asarray(on_layer)
-        od = np.asarray(outd)[on]
-        idg = np.asarray(ind)[on]
-        if od.size == 0:
+        st = _hist_stats(np.asarray(_layer_hist(state, l)),
+                         _row_width(state, l))
+        if st is None:
             continue
-        if not report_in_edges:
-            idg = np.zeros_like(idg)
-
-        def med(a):
-            s = np.sort(a)
-            n = s.size
-            return int((s[n // 2 - 1] + s[n // 2]) // 2) if n % 2 == 0 \
-                else int(s[n // 2])
-
-        layers.append(LayerInfo(
-            layer_id=l, nodes_count=int(od.size),
-            max_out_edges=int(od.max()), min_out_edges=int(od.min()),
-            max_in_edges=int(idg.max()), min_in_edges=int(idg.min()),
-            avg_out_edges=float(od.mean()), avg_in_edges=float(idg.mean()),
-            out_edges_median=med(od), in_edges_median=med(idg)))
+        if st == "overflow":    # in-median beyond the histogram: exact
+            st = _full_readback_stats(cfg, state, l)
+        layers.append(_layer_info(l, st, report_in_edges))
     return HNSWInfo(layers=layers)
+
+
+def _row_width(state: GraphState, layer: int) -> int:
+    return int(state.nbr0.shape[-1] if layer == 0
+               else state.nbru.shape[-1]) + 1
+
+
+def _layer_info(l: int, st: dict, report_in_edges: bool) -> LayerInfo:
+    if not report_in_edges:
+        # AllowRemovals=false reference behavior: zero in-edge stats
+        st = dict(st, max_in_edges=0, min_in_edges=0, avg_in_edges=0.0,
+                  in_edges_median=0)
+    return LayerInfo(layer_id=l, **st)
+
+
+def _full_readback_stats(cfg: GraphConfig, state: GraphState,
+                         layer: int) -> dict:
+    """Exact per-node fallback (3 x (C,) readbacks) for the pathological
+    case of an in-degree median past _IN_HIST_W."""
+    outd, ind, on_layer = _layer_degrees(cfg, state, layer)
+    on = np.asarray(on_layer)
+    od = np.asarray(outd)[on]
+    idg = np.asarray(ind)[on]
+
+    def med(a):
+        s = np.sort(a)
+        n = s.size
+        return int((s[n // 2 - 1] + s[n // 2]) // 2) if n % 2 == 0 \
+            else int(s[n // 2])
+
+    return dict(nodes_count=int(od.size),
+                max_out_edges=int(od.max()), min_out_edges=int(od.min()),
+                max_in_edges=int(idg.max()), min_in_edges=int(idg.min()),
+                avg_out_edges=float(od.mean()),
+                avg_in_edges=float(idg.mean()),
+                out_edges_median=med(od), in_edges_median=med(idg))
 
 
 @partial(jax.jit, static_argnames=("cfg", "layer", "max_iters"))
@@ -133,6 +252,16 @@ def _components_at_layer(cfg: GraphConfig, state: GraphState, layer: int,
         cond, body, (labels0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
     roots = on_layer & (labels == ids)
     return jnp.sum(roots, dtype=jnp.int32), jnp.any(on_layer)
+
+
+@partial(jax.jit, static_argnames=("cfg", "layer", "max_iters"))
+def _components_sharded(cfg: GraphConfig, state: GraphState, layer: int,
+                        max_iters: int):
+    """(S,) component counts + nonempty flags for every shard of a
+    stacked GraphState in one program (vmapped label propagation; the
+    while_loop runs until every shard converges)."""
+    return jax.vmap(
+        lambda s: _components_at_layer(cfg, s, layer, max_iters))(state)
 
 
 def connected_component_counts(cfg: GraphConfig,

@@ -27,6 +27,7 @@ reference's scalar kernels (metric_test.py oracle comparisons at 1e-5).
 from __future__ import annotations
 
 import os
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -204,6 +205,11 @@ def _as_2d_f32(x, dim: int) -> np.ndarray:
 class HNSWIndex:
     """TPU-native HNSW index (see module docstring)."""
 
+    #: cumulative fenced host->device slab-upload seconds (class default
+    #: so load paths that bypass __init__ via cls.__new__ start at zero;
+    #: += rebinds it per instance on first add())
+    upload_seconds = 0.0
+
     def __init__(self, dim: int, metric: str = "sq_euclid",
                  parameters: Optional[HNSWParameters] = None):
         dst.check_metric(metric)
@@ -247,6 +253,11 @@ class HNSWIndex:
         self._upper_pos: dict = {}   # live id -> panel position
         # 1 + highest slot ever activated: bounds the exact-scan prefix
         self._scan_hwm = 0
+        # cumulative host->device slab-upload seconds (fenced): lets
+        # callers split a build's wall time into link cost vs engine
+        # cost — through a tunneled backend the 512 MB/slab ingest can
+        # dominate, while production PCIe hosts move it at >10 GB/s
+        self.upload_seconds = 0.0
 
     # ------------------------------------------------------------------
     # construction
@@ -334,9 +345,16 @@ class HNSWIndex:
             ntot = min(slab, n - i - j)
             npad = max(8, 1 << (ntot - 1).bit_length())  # bounded shapes
             sl = slice(i + j, i + j + ntot)
+            t_up = time.perf_counter()
             dids = jnp.asarray(np.pad(ids[sl], (0, npad - ntot)))
             dlvls = jnp.asarray(np.pad(lvls[sl], (0, npad - ntot)))
             dvecs = jnp.asarray(np.pad(a[sl], ((0, npad - ntot), (0, 0))))
+            # fence the slab transfer (a tiny dependent readback — the
+            # only honest completion signal through an async relay) so
+            # upload_seconds measures the link, not dispatch; one ~30 ms
+            # sync per 512 MB slab is noise against the transfer itself
+            np.asarray(dvecs[0, 0])
+            self.upload_seconds += time.perf_counter() - t_up
             n_dev = jnp.asarray(ntot, jnp.int32)
             cur = jnp.zeros((), jnp.int32)
             k = 0

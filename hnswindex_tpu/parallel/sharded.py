@@ -1114,7 +1114,12 @@ class ShardedIndex:
 
     def get_info(self) -> stats.HNSWInfo:
         """Per-layer degree statistics aggregated over all shards
-        (HNSWIndex.cs:192-196 semantics on the union of subgraphs)."""
+        (HNSWIndex.cs:192-196 semantics on the union of subgraphs).
+
+        Shard subgraphs are edge-disjoint, so global stats are exactly the
+        shard histograms merged on the host: one vmapped stats program and
+        one (S, ~4 KB) readback per layer, instead of 3 x S x (C,) arrays
+        (which was ~quadratic-ish in mesh size through the relay)."""
         eps = np.asarray(self._state.ep)
         lvl = np.asarray(self._state.level)
         tops = [int(lvl[s, eps[s]]) if eps[s] >= 0 else -1
@@ -1125,54 +1130,75 @@ class ShardedIndex:
         report_in = self.params.allow_removals
         layers = []
         for l in range(top + 1):
-            od_all, id_all = [], []
-            for s in range(self.n_shards):
-                if tops[s] < 0:
-                    continue
-                outd, ind, on_layer = stats._layer_degrees(
-                    self._cfg, self._local(s), l)
-                on = np.asarray(on_layer)
-                od_all.append(np.asarray(outd)[on])
-                id_all.append(np.asarray(ind)[on])
-            od = np.concatenate(od_all) if od_all else np.empty(0, np.int32)
-            idg = np.concatenate(id_all) if id_all else od
-            if od.size == 0:
+            vecs = np.asarray(stats._layer_hist_sharded(self._state, l))
+            # merge: heads combine with sum/max/min (empty shards carry
+            # identity sentinels), histograms + overflow sums add
+            merged = np.concatenate([
+                np.array([vecs[:, 0].sum(), vecs[:, 1].max(),
+                          vecs[:, 2].min(), vecs[:, 3].max(),
+                          vecs[:, 4].min(), vecs[:, 5].sum()],
+                         dtype=np.int64),
+                vecs[:, 6:].sum(axis=0, dtype=np.int64)])
+            wout = stats._row_width(self._state, l)  # last-dim width only
+            st = stats._hist_stats(merged, wout)
+            if st is None:
                 continue
-            if not report_in:
-                idg = np.zeros_like(idg)
-
-            def med(x):
-                sx = np.sort(x)
-                m = sx.size
-                return int((sx[m // 2 - 1] + sx[m // 2]) // 2) \
-                    if m % 2 == 0 else int(sx[m // 2])
-
-            layers.append(stats.LayerInfo(
-                layer_id=l, nodes_count=int(od.size),
-                max_out_edges=int(od.max()), min_out_edges=int(od.min()),
-                max_in_edges=int(idg.max()), min_in_edges=int(idg.min()),
-                avg_out_edges=float(od.mean()),
-                avg_in_edges=float(idg.mean()),
-                out_edges_median=med(od), in_edges_median=med(idg)))
+            if st == "overflow":    # in-median beyond the histogram: exact
+                st = self._full_readback_layer_stats(l, tops)
+            layers.append(stats._layer_info(l, st, report_in))
         return stats.HNSWInfo(layers=layers)
+
+    def _full_readback_layer_stats(self, l: int, tops: List[int]) -> dict:
+        """Exact per-node fallback for the pathological in-degree-median
+        overflow case: concatenates per-shard degree readbacks."""
+        od_all, id_all = [], []
+        for s in range(self.n_shards):
+            if tops[s] < 0:
+                continue
+            outd, ind, on_layer = stats._layer_degrees(
+                self._cfg, self._local(s), l)
+            on = np.asarray(on_layer)
+            od_all.append(np.asarray(outd)[on])
+            id_all.append(np.asarray(ind)[on])
+        od = np.concatenate(od_all)
+        idg = np.concatenate(id_all)
+
+        def med(x):
+            sx = np.sort(x)
+            m = sx.size
+            return int((sx[m // 2 - 1] + sx[m // 2]) // 2) \
+                if m % 2 == 0 else int(sx[m // 2])
+
+        return dict(nodes_count=int(od.size),
+                    max_out_edges=int(od.max()), min_out_edges=int(od.min()),
+                    max_in_edges=int(idg.max()), min_in_edges=int(idg.min()),
+                    avg_out_edges=float(od.mean()),
+                    avg_in_edges=float(idg.mean()),
+                    out_edges_median=med(od), in_edges_median=med(idg))
 
     def get_connected_component_counts(self) -> List[int]:
         """Per-layer weak-component counts.  Shard subgraphs are disjoint,
-        so the global count is the sum of per-shard counts."""
-        per_shard = []
-        for s in range(self.n_shards):
-            local = self._local(s)
-            if int(np.asarray(local.count)) == 0:
-                continue
-            per_shard.append(stats.connected_component_counts(self._cfg,
-                                                              local))
-        if not per_shard:
+        so the global count is the sum of per-shard counts; one vmapped
+        label-propagation program per layer covers every shard (empty
+        shards report 0 via the nonempty flag)."""
+        eps = np.asarray(self._state.ep)
+        lvl = np.asarray(self._state.level)
+        tops = [int(lvl[s, eps[s]]) if eps[s] >= 0 else -1
+                for s in range(self.n_shards)]
+        top = max(tops)
+        if top < 0:
             return []
-        top = max(len(c) for c in per_shard)
-        out = [0] * top
-        for c in per_shard:
-            for l, v in enumerate(c):
-                out[l] += v
+        out = []
+        for l in range(top + 1):
+            c, nonempty = stats._components_sharded(
+                self._cfg, self._state, l, self.shard_capacity)
+            c = np.asarray(c)
+            ne = np.asarray(nonempty)
+            # a layer counts for the global list only up to each shard's
+            # own top; shards with no nodes at l contribute 0
+            out.append(int(c[ne].sum()))
+        # trim trailing all-empty layers (per-shard semantics kept: the
+        # list length is the max over shards of their top+1)
         return out
 
     # ------------------------------------------------------------------
