@@ -81,6 +81,21 @@ REPAIR_SPAN_1 = _env_int("HNSW_REPAIR_SPAN_1", 48)
 REPAIR_FILL = _env_int("HNSW_REPAIR_FILL", 0)
 
 
+def repair_widths(quality: str):
+    """Resolve (fanin, span, span_1, fill) for a remove_quality preset.
+
+    "fast" is the REPAIR_* constants; "high" doubles both candidate spans
+    and widens the multi-loss fan-in union — measured at 100k x 50%
+    uniform bulk deletes to lift post/pre recall from ~0.96 to ~0.995
+    (above the reference's 0.98x drift bar, GraphTests.cs:138-148) at
+    ~0.57x the removals/s (benchmarks/remove_quality_sweep.py).  The
+    HNSW_REPAIR_* env overrides scale with the preset."""
+    if quality == "high":
+        return (max(REPAIR_FANIN + 2, 6), 2 * REPAIR_SPAN,
+                2 * REPAIR_SPAN_1, REPAIR_FILL)
+    return (REPAIR_FANIN, REPAIR_SPAN, REPAIR_SPAN_1, REPAIR_FILL)
+
+
 def _removed_mask(state: GraphState, rem_ids):
     C = state.capacity
     return jnp.zeros((C + 1,), bool).at[
@@ -383,7 +398,8 @@ def _repair_rows(cfg, vlo, norms, nbr_l, deg_l, rows, rem_j, scan_j,
 def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
                       remove_ef: int, remove_buckets=None,
                       exact_candidates: bool | None = None,
-                      scan_hwm: int | None = None):
+                      scan_hwm: int | None = None,
+                      quality: str = "fast"):
     """Host-driven removal of ``arr`` (numpy int32 ids) from a GraphState.
 
     The engine core of HNSWIndex.remove, reusable for per-shard removal in
@@ -403,6 +419,7 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
     arr = np.asarray(arr, dtype=np.int32).ravel()
     if arr.size == 0:
         return state
+    r_fanin, r_span, r_span1, r_fill = repair_widths(quality)
     if exact_candidates is None:
         exact_candidates = not dst.is_custom(cfg.metric)
     # candidate-scan prefix: smallest power of 2 covering the built slots
@@ -475,12 +492,11 @@ def remove_from_state(cfg: GraphConfig, state: GraphState, arr,
             nbr_l, deg_l = _slice_layer(state, l)
             nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
                                         nbr_l, deg_l, fast, rem_j, scan_j,
-                                        scand, max_deg, 1, REPAIR_SPAN_1,
-                                        REPAIR_FILL)
+                                        scand, max_deg, 1, r_span1, r_fill)
             nbr_l, deg_l = _repair_rows(cfg, state.vlo, state.norms,
                                         nbr_l, deg_l, slow, rem_j, scan_j,
-                                        scand, max_deg, REPAIR_FANIN,
-                                        REPAIR_SPAN, REPAIR_FILL)
+                                        scand, max_deg, r_fanin,
+                                        r_span, r_fill)
             # removed nodes' own rows at this layer die with the repair
             # pass (the repair search above never traverses edges, so
             # ordering is safe)

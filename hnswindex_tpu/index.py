@@ -589,7 +589,8 @@ class HNSWIndex:
             self._state = R.remove_from_state(
                 self._cfg, self._state, arr,
                 self.params.remove_max_candidates,
-                scan_hwm=self._scan_hwm)
+                scan_hwm=self._scan_hwm,
+                quality=self.params.remove_quality)
         self._free.extend(int(x) for x in arr)
         self._count_host -= int(arr.size)
         self._panel_remove(arr)

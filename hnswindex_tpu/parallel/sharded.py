@@ -1026,7 +1026,8 @@ class ShardedIndex:
             local = remove_from_state(
                 self._cfg, self._local(int(s)), mine,
                 self.params.remove_max_candidates,
-                scan_hwm=int(self._lengths[int(s)]))
+                scan_hwm=int(self._lengths[int(s)]),
+                quality=self.params.remove_quality)
             self._set_local(int(s), local)
             self._free[int(s)].extend(int(x) for x in mine)
             self._counts[int(s)] -= mine.size

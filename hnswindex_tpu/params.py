@@ -132,6 +132,17 @@ class HNSWParameters:
     #: (e.g. M=1's deliberately-poor recall, parameters_test.py:24-33).
     reverse_slack: int = 8
 
+    #: Repair width for removals: "fast" (default) repairs affected rows
+    #: against the spans in core/remove.py's REPAIR_* constants; "high"
+    #: doubles the candidate spans and widens the multi-loss fan-in union.
+    #: Measured at 100k x 50% uniform bulk deletes
+    #: (benchmarks/remove_quality_sweep.py): "fast" holds post/pre
+    #: recall ratio ~0.96 at full speed, "high" ~0.995 — above the
+    #: reference's own 0.98x drift bar (GraphTests.cs:138-148) — at
+    #: ~0.57x the removals/s.  Incremental (small-wave) removals are
+    #: near-driftless under either setting.
+    remove_quality: str = "fast"
+
     def validate(self) -> None:
         if self.max_edges < 1:
             raise ValueError("max_edges must be >= 1")
@@ -149,3 +160,5 @@ class HNSWParameters:
             raise ValueError("pack_dtype must be 'bf16', 'f32' or 'auto'")
         if self.reverse_slack < 0:
             raise ValueError("reverse_slack must be >= 0")
+        if self.remove_quality not in ("fast", "high"):
+            raise ValueError("remove_quality must be 'fast' or 'high'")

@@ -269,3 +269,36 @@ def test_mixed_churn_invariants():
     qs = np.stack([vec_of[int(g)] for g in gs])
     rid, _ = ix.knn_query(qs, k=1)
     assert (rid[:, 0] == gs).mean() > 0.9
+
+
+def test_remove_quality_high_meets_reference_drift_bar():
+    """remove_quality="high" holds the reference's own post/pre recall
+    drift bar (>= 0.98x, GraphTests.cs:138-148) under a 50% one-wave bulk
+    delete — the workload where "fast" measurably erodes the graph at
+    scale (benchmarks/remove_quality_sweep.py: 0.96 vs 0.995 at 100k)."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+
+    rng = np.random.default_rng(2026)
+    n, dim = 4_000, 32
+    vecs = rng.random((n, dim), dtype=np.float32)
+    ix = HNSWIndex(dim, parameters=HNSWParameters(
+        collection_size=n, remove_quality="high"))
+    ids = ix.add(vecs)
+
+    pre = float((ix.knn_query(vecs[n // 2:], 1)[0][:, 0]
+                 == ids[n // 2:]).mean())
+    ix.remove(ids[: n // 2])
+    post = float((ix.knn_query(vecs[n // 2:], 1)[0][:, 0]
+                  == ids[n // 2:]).mean())
+    assert post >= 0.98 * pre, (pre, post)
+
+
+def test_remove_quality_validation():
+    from hnswindex_tpu import HNSWParameters
+    from hnswindex_tpu.core.remove import repair_widths
+
+    with pytest.raises(ValueError):
+        HNSWParameters(remove_quality="ultra").validate()
+    fanin, span, span1, _ = repair_widths("high")
+    f0, s0, s10, _ = repair_widths("fast")
+    assert fanin > f0 and span == 2 * s0 and span1 == 2 * s10
