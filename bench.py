@@ -212,7 +212,7 @@ def main():
     bix.build(vecs)
     log(f"block build: {time.perf_counter() - t0:.1f}s "
         f"({bix.n_blocks} blocks)")
-    for n_probe in (4, 8, 16, 64, 128):
+    for n_probe in (2, 3, 4, 8, 16, 64, 128):
         if n_probe > bix.n_blocks:
             continue
 

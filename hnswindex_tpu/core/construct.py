@@ -51,17 +51,21 @@ def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(name, str(default)))
 
 
-#: Capacity from which FULL-WIDTH steady waves run the candidate scan
-#: two-stage (bf16 coarse + f32 rescore, ops/bruteforce.exact_knn2 — the
-#: fused streaming lane-min form when the prefix is 8192-aligned)
+#: Scan-prefix size from which FULL-WIDTH steady waves run the candidate
+#: scan two-stage (bf16 coarse + f32 rescore, ops/bruteforce.exact_knn2 —
+#: the fused streaming lane-min form when the prefix is 8192-aligned)
 #: instead of the blocked single-stage exact_knn.  The blocked form
 #: issues one narrow approx_min_k per 64k corpus block plus a
 #: (W, 16*4k)-survivor argsort merge: at nscan=1M that measured ~21 ms
 #: of the ~40 ms wave vs ~8 ms for the fused scan
 #: (benchmarks/wave_phase_probe.py, 2026-08-19).  Env
 #: HNSW_BUILD_SCAN2_MIN; see the ``scan2`` gate in base_connect_exact
-#: for why only the steady bucket takes it below 2M.
-BUILD_SCAN2_MIN = _env_int("HNSW_BUILD_SCAN2_MIN", 1 << 20)
+#: for why only the steady bucket takes it below the always-on mark.
+#: The gate compares the STATIC PREFIX (nscan clamped to capacity), not
+#: capacity: a 1M corpus allocates ~1.008M rows (8192-aligned), and a
+#: capacity gate at 1<<20 left the fused scan off at exactly the
+#: headline-bench scale (9.8k vs 16.7k inserts/s).
+BUILD_SCAN2_MIN = _env_int("HNSW_BUILD_SCAN2_MIN", 1 << 19)
 
 
 def _prune_rows(cfg: GraphConfig, vectors, norms, target_ids, cand_ids,
@@ -720,11 +724,11 @@ def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
     hundreds of bandwidth-bound neighbor gathers; candidates are the true
     efConstruction nearest neighbors, so graph quality dominates the beam
     path.  Used while the corpus is below the host's exact-build threshold
-    (construction cost is O(C) per wave).  Past 2M rows the scan switches
-    to the two-stage form (bf16 coarse + f32 rescore of 4x-oversampled
-    survivors, ops/bruteforce.exact_knn2) — the coarse matmul runs at the
-    MXU's native rate, and below 2M the rescore gather costs more than
-    the f32 scan saves."""
+    (construction cost is O(C) per wave).  Once the scan prefix reaches
+    2M rows the scan always switches to the two-stage form (bf16 coarse +
+    f32 rescore of 4x-oversampled survivors, ops/bruteforce.exact_knn2) —
+    the coarse matmul runs at the MXU's native rate; from BUILD_SCAN2_MIN
+    prefix rows up, full-width steady waves (``scan2``) take it too."""
     from ..ops.bruteforce import exact_knn, exact_knn2
 
     W = ids.shape[0]
@@ -744,17 +748,18 @@ def base_connect_exact(cfg: GraphConfig, state: GraphState, ids, lvls,
     # ids; the f32 rescore inside exact_knn2 gathers from the full store.
     ns = C if nscan is None else min(nscan, C)
     ct = state.coarse_table
-    # Two-stage scan gating: always from 2M rows (the blocked f32-panel
-    # form would OOM/crawl); below that only when the host asks
-    # (``scan2`` — set for full-width steady waves at >= BUILD_SCAN2_MIN
-    # capacity).  The host limits scan2 to the steady bucket because
-    # every (bucket, ubucket) program variant embedding the fused Pallas
-    # scan pays a much slower XLA compile — letting the early bucket
-    # ladder embed it turned a 1M build's seed phase into ~10 slow
-    # compiles (>900 s total through the relay) for rows that account
-    # for <1% of the build.
-    if ct is not None and (C >= (1 << 21)
-                           or (scan2 and C >= BUILD_SCAN2_MIN)):
+    # Two-stage scan gating: always once the scan prefix reaches 2M rows
+    # (the blocked f32-panel form would OOM/crawl); below that only when
+    # the host asks (``scan2`` — set for full-width steady waves, taken
+    # from BUILD_SCAN2_MIN prefix rows up).  The host limits scan2 to
+    # the steady bucket because every (bucket, ubucket) program variant
+    # embedding the fused Pallas scan pays a much slower XLA compile —
+    # letting the early bucket ladder embed it turned a 1M build's seed
+    # phase into ~10 slow compiles (>900 s total through the relay) for
+    # rows that account for <1% of the build.  ``ns`` is static (host-
+    # bucketed), so this is a compile-time branch.
+    if ct is not None and (ns >= (1 << 21)
+                           or (scan2 and ns >= BUILD_SCAN2_MIN)):
         cd, ci = exact_knn2(cfg.metric, state.vectors, ct[:ns],
                             state.norms[:ns], state.active[:ns], vecs,
                             cfg.ef_construction, exclude=ids)
