@@ -1,8 +1,9 @@
 """Benchmark: build + batched k-NN throughput on one chip.
 
-Prints ONE JSON line:
+Prints ONE JSON line (possibly several times — each reprint supersedes the
+previous; the driver records the tail, so the LAST line is the result):
   {"metric": "knn_qps_chip", "value": <qps>, "unit": "queries/s",
-   "vs_baseline": <qps / 100_000>}
+   "vs_baseline": <qps / 100_000>, ...}
 
 Defaults reflect driver scale: 1M clustered 128-d vectors (the BASELINE
 SIFT1M shape; clustered synthetic is the honest proxy — uniform random is
@@ -13,10 +14,25 @@ The headline is the throughput of the best serving mode that clears the
 reference's own recall bar (recall@10 >= 0.85 self-consistency,
 GraphTests.cs:28):
 
+* block  — two-level MXU scoring (block.py) — usually the winner;
+* exact  — blocked brute-force on the MXU (recall ~1.0);
 * graph  — HNSW beam search over packed neighborhood tiles (core/pack.py,
-  the default layer-0 serving path) and the unpacked fallback;
-* block  — two-level MXU scoring (block.py);
-* exact  — blocked brute-force on the MXU (recall 1.0).
+  the default layer-0 serving path) and the unpacked fallback.
+
+Robustness contract (round-3 lesson: the driver's run timed out with
+NOTHING recorded — a wedged tunnel or a long cold compile must never
+again produce parsed:null):
+
+* a startup TUNNEL PROBE runs the first device op in a subprocess with a
+  hard deadline and retries through the documented 10-15 min relay
+  wedges; if the tunnel never comes back, a "tunnel_wedged" JSON line is
+  printed instead of hanging;
+* a provisional JSON line is printed after EVERY completed stage (build,
+  each serving mode) — the headline only improves monotonically;
+* the internal watchdog and SIGTERM both print the best-so-far JSON
+  before exiting, so even a driver-side timeout records a result;
+* the corpus size auto-downscales when the measured relay link rate
+  projects the upload past the time budget (recorded in the JSON).
 
 Every mode's qps + recall, the build rate, and rough efficiency numbers
 (exact-mode MFU, graph-mode HBM traffic) go to stderr so the headline is
@@ -26,27 +42,127 @@ auditable.  The baseline divisor is the driver-set north star
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import threading
 import time
 
 import numpy as np
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _watchdog(budget_s: float):
-    """Hard exit if the run wedges (a hung device tunnel would otherwise
-    block the harness forever; an error exit is recordable, a hang is
-    not).  Normal runs finish far inside the budget."""
+def remaining():
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+# ---------------------------------------------------------------- result --
+# Best-so-far payload.  emit() prints the current best as one JSON line;
+# it is called after every completed stage and again from the watchdog /
+# SIGTERM paths, so whatever ends the process, the tail holds a result.
+
+_RESULT = {
+    "metric": "knn_qps_chip", "value": 0.0, "unit": "queries/s",
+    "vs_baseline": 0.0,
+}
+_RESULT_LOCK = threading.Lock()
+_EMITTED_FINAL = False
+
+
+def update(**fields):
+    with _RESULT_LOCK:
+        _RESULT.update(fields)
+
+
+def emit(final=False):
+    global _EMITTED_FINAL
+    with _RESULT_LOCK:
+        if _EMITTED_FINAL:
+            return
+        if final:
+            _EMITTED_FINAL = True
+        _RESULT["elapsed_s"] = round(time.perf_counter() - T_START, 1)
+        print(json.dumps(_RESULT), flush=True)
+
+
+def _watchdog():
+    """Print the best-so-far JSON and hard-exit if the run wedges (a hung
+    device tunnel would otherwise block the harness forever; round 3
+    recorded rc=124 with parsed:null — never again)."""
     def arm():
-        time.sleep(budget_s)
-        log(f"bench watchdog: no result after {budget_s:.0f}s — aborting")
-        os._exit(3)
+        time.sleep(max(5.0, remaining()))
+        update(aborted="watchdog")
+        emit(final=True)
+        log(f"bench watchdog: budget {BUDGET_S:.0f}s exhausted — "
+            "emitted best-so-far and aborting")
+        os._exit(0)
     t = threading.Thread(target=arm, daemon=True)
     t.start()
+
+
+def _on_sigterm(signum, frame):
+    update(aborted=f"signal {signum}")
+    emit(final=True)
+    os._exit(0)
+
+
+# ---------------------------------------------------------- tunnel probe --
+_PROBE_CHILD = r"""
+import os, sys, threading, time
+def bail():
+    time.sleep(float(sys.argv[1]))
+    os._exit(9)
+threading.Thread(target=bail, daemon=True).start()
+if os.environ.get("BENCH_FAKE_WEDGE") == "1":
+    time.sleep(10**6)
+import jax, jax.numpy as jnp, numpy as np
+np.asarray(jnp.sum(jnp.ones((8, 8), jnp.float32)))
+os._exit(0)
+"""
+
+
+def tunnel_probe(
+        deadline_s=float(os.environ.get("BENCH_PROBE_DEADLINE_S", "90")),
+        attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "4")),
+        sleep_s=float(os.environ.get("BENCH_PROBE_SLEEP_S", "30"))):
+    """First device contact in a SUBPROCESS with a hard deadline.
+
+    The relay tunnel can wedge for 10-15 minutes after a killed RPC
+    (CLAUDE.md); probing in-process would hang the whole bench.  The
+    child self-exits (rc 9) just before the parent deadline so a wedged
+    RPC is abandoned by the child, not SIGKILLed mid-flight by us.
+    Returns seconds spent, or raises after all attempts fail.
+    """
+    t0 = time.perf_counter()
+    for attempt in range(attempts):
+        if remaining() < deadline_s + 60:
+            break  # leave room to emit something useful
+        child = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_CHILD, str(deadline_s - 8.0)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            rc = child.wait(timeout=deadline_s)
+        except subprocess.TimeoutExpired:
+            child.kill()
+            rc = -1
+        dt = time.perf_counter() - t0
+        if rc == 0:
+            log(f"tunnel probe: ok after {dt:.1f}s (attempt {attempt + 1})")
+            return dt
+        log(f"tunnel probe: attempt {attempt + 1} failed rc={rc} "
+            f"({dt:.0f}s in) — tunnel likely wedged, retrying")
+        time.sleep(sleep_s)
+    update(tunnel_wedged=True,
+           aborted=f"tunnel wedged for {time.perf_counter() - t0:.0f}s")
+    emit(final=True)
+    log("tunnel probe: giving up — tunnel wedged; emitted JSON and exiting")
+    os._exit(0)
 
 
 def main():
@@ -58,6 +174,8 @@ def main():
     k = int(os.environ.get("BENCH_K", "10"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
 
+    tunnel_probe()
+
     import jax
     import jax.numpy as jnp
     log("devices:", jax.devices())
@@ -66,6 +184,29 @@ def main():
     from hnswindex_tpu.core import pack as PK
     from hnswindex_tpu.core.search import knn_search
     from hnswindex_tpu.ops.bruteforce import exact_knn, exact_knn2
+
+    # -- link rate first: on a bad relay day (2.9-18 MB/s observed) the 1M
+    # upload alone can eat the budget; downscale the corpus so SOMETHING
+    # lands rather than recording a timeout.
+    np.asarray(jnp.sum(jnp.zeros((1 << 21,), jnp.float32)))  # warm consumer
+    probe = np.zeros((1 << 21,), np.float32)  # 8 MB
+    t0 = time.perf_counter()
+    np.asarray(jnp.sum(jnp.asarray(probe)))
+    h2d = 8.0 / max(1e-9, time.perf_counter() - t0)
+    downscaled = False
+    while n > 250000:
+        upload_proj = n * dim * 4 / (h2d * 1e6)
+        build_proj = n / 10000.0  # engine-side floor ~10k inserts/s
+        # sweep + compiles need ~350s of headroom after the build
+        if upload_proj + build_proj + 350 <= remaining():
+            break
+        n //= 2
+        downscaled = True
+    ceil = h2d * (1 << 20) / (dim * 4)
+    log(f"H2D link: {h2d:.1f} MB/s -> ingest ceiling ~{ceil:.0f} inserts/s"
+        + (f"; corpus downscaled to N={n}" if downscaled else ""))
+    update(h2d_link_mbps=round(h2d, 2), ingest_ceiling_per_s=round(ceil, 1),
+           n=n, dim=dim, data=data_kind, downscaled=downscaled)
 
     rng = np.random.default_rng(65537)
     if data_kind == "clustered":
@@ -106,25 +247,14 @@ def main():
     engine_rate = (n - half) / max(1e-9, steady_s - upload_s)
     log(f"build: total {warm_s + steady_s:.1f}s; steady-state "
         f"{build_rate:.0f} inserts/s (slab upload {upload_s:.1f}s of "
-        f"{steady_s:.1f}s -> engine-side {engine_rate:.0f} inserts/s)")
-    # Through a tunneled backend the build is often HOST->DEVICE BOUND,
-    # not engine-bound: add() ships dim*4 bytes per insert and the relay
-    # has run anywhere from 2.9 to 18 MB/s on different days.  Measure
-    # the link and say so (benchmarks/device_build_probe.py measures the
-    # engine with device-resident waves; production hosts ingest over
-    # PCIe at >10 GB/s where this ceiling is irrelevant).
-    probe = np.zeros((1 << 21,), np.float32)  # 8 MB
-    # warm the consumer program on a device-resident array first: the
-    # earlier jnp.sum calls ran on int32, so an unwarmed f32 probe would
-    # fold a relay compile into the measured MB/s and falsely flag
-    # transfer-bound builds
-    np.asarray(jnp.sum(jnp.zeros((1 << 21,), jnp.float32)))
-    t0 = time.perf_counter()
-    np.asarray(jnp.sum(jnp.asarray(probe)))
-    h2d = 8.0 / max(1e-9, time.perf_counter() - t0)
-    ceil = h2d * (1 << 20) / (dim * 4)
-    log(f"H2D link: {h2d:.1f} MB/s -> ingest ceiling ~{ceil:.0f} "
-        f"inserts/s{' (BUILD IS TRANSFER-BOUND)' if build_rate > 0.3 * ceil else ''}")
+        f"{steady_s:.1f}s -> engine-side {engine_rate:.0f} inserts/s)"
+        + (" (BUILD IS TRANSFER-BOUND)" if build_rate > 0.3 * ceil else ""))
+    update(build_inserts_per_s=round(build_rate, 1),
+           build_engine_inserts_per_s=round(engine_rate, 1),
+           build_upload_s=round(upload_s, 2),
+           build_vs_bar=round(build_rate / 10_000, 4),
+           build_engine_vs_bar=round(engine_rate / 10_000, 4))
+    emit()  # provisional: build recorded even if serving never completes
 
     cfg = idx._cfg
     state = idx._state
@@ -165,35 +295,103 @@ def main():
 
     candidates = []
 
-    # graph mode, packed (the default serving path at scale)
-    t0 = time.perf_counter()
-    pk = idx._get_pack()
-    if pk is not None:
-        jax.block_until_ready(pk.res)
-        log(f"pack build: {time.perf_counter() - t0:.1f}s "
-            f"(entry set {int(pk.entry_ids.shape[0])})")
-        expand = max(1, params.query_expand)
-        for ef in (max(k, 12), 16, 32, 64):
-            mi = (cfg.search_iter_factor * ef) // expand + 16
+    def headline():
+        if not candidates:
+            return
+        qps, mode, rec = max(candidates)
+        update(value=round(qps, 1), vs_baseline=round(qps / 100_000, 4),
+               headline_mode=mode, headline_recall=round(rec, 4),
+               modes={m: {"qps": round(q_, 1), "recall": round(r_, 4)}
+                      for q_, m, r_ in sorted(candidates, reverse=True)})
+        emit()
 
-            def prun(qs, ef=ef, mi=mi):
-                return PK.packed_knn_search(cfg, pk, qs, ef, mi,
-                                            expand=expand,
-                                            n_entry=min(8, ef))
+    # -- stage order is by headline value per second of compile risk:
+    # block first (the recorded winner), then exact (safe fallback), then
+    # the graph paths.  Each stage checks the remaining budget.
 
-            qps = throughput(prun)
-            rec = recall_of(np.asarray(prun(queries)[1])[:, :k])
-            # graph traffic estimate: ~ef expansions x one (K, D) tile
-            K = int(pk.nbr0.shape[1])
-            gbps = qps * ef * K * (dim * 2 + 8) / 1e9
-            log(f"graph-packed ef={ef}: {qps:.0f} q/s, recall@{k} "
-                f"{rec:.3f} (~{gbps:.0f} GB/s tile traffic)")
+    # block mode (two-level MXU scoring)
+    if remaining() > 120:
+        from hnswindex_tpu.block import BlockIndex
+        bix = BlockIndex(dim, metric, parameters=params)
+        t0 = time.perf_counter()
+        bix.build(vecs)
+        log(f"block build: {time.perf_counter() - t0:.1f}s "
+            f"({bix.n_blocks} blocks)")
+        # n_probe=2/3 measured below the 0.85 bar at 1M clustered, 64/128
+        # strictly slower — the knee is 4 (RESULTS.md 2026-08-20)
+        for n_probe in (4, 8, 16):
+            if n_probe > bix.n_blocks or remaining() < 60:
+                continue
+
+            def block_run(qs, npb=n_probe):
+                return bix.query_device(qs, k, n_probe=npb)
+
+            qps = throughput(block_run)
+            rec = recall_of(np.asarray(block_run(queries)[1])[:, :k])
+            log(f"block n_probe={n_probe}: {qps:.0f} q/s, "
+                f"recall@{k} {rec:.3f}")
             if rec > 0.85:
-                candidates.append((qps, f"graph-packed(ef={ef})", rec))
+                candidates.append((qps, f"block(n_probe={n_probe})", rec))
+                headline()
 
-    # graph mode, unpacked fallback (also the custom-metric path)
-    expand = max(1, params.query_expand)
-    for ef in (64,):
+    # exact mode (recall ~1.0; also the fallback headline when nothing
+    # else clears the bar)
+    ct = state.coarse_table
+
+    def exact_run(qs):
+        if ct is not None:
+            return exact_knn2(cfg.metric, state.vectors, ct, state.norms,
+                              state.active, qs, k)
+        return exact_knn(cfg.metric, state.vectors, state.norms,
+                         state.active, qs, k)
+
+    exact_qps = exact_rec = None
+    if remaining() > 90:
+        exact_qps = throughput(exact_run)
+        exact_rec = recall_of(np.asarray(exact_run(queries)[1])[:, :k])
+        mfu = exact_qps * 2.0 * dim * n / 394e12  # vs v5e bf16 peak
+        stage = "2-stage bf16+f32" if ct is not None else "f32"
+        log(f"exact ({stage}): {exact_qps:.0f} q/s, recall@{k} "
+            f"{exact_rec:.4f} (~{100 * mfu:.0f}% of bf16 peak)")
+        if exact_rec > 0.85:
+            candidates.append((exact_qps, "exact", exact_rec))
+            headline()
+
+    # graph mode, packed (the default layer-0 serving path at scale)
+    if remaining() > 120:
+        t0 = time.perf_counter()
+        pk = idx._get_pack()
+        if pk is not None:
+            jax.block_until_ready(pk.res)
+            log(f"pack build: {time.perf_counter() - t0:.1f}s "
+                f"(entry set {int(pk.entry_ids.shape[0])})")
+            expand = max(1, params.query_expand)
+            for ef in (max(k, 12), 16, 32):
+                if remaining() < 75:
+                    continue
+                mi = (cfg.search_iter_factor * ef) // expand + 16
+
+                def prun(qs, ef=ef, mi=mi):
+                    return PK.packed_knn_search(cfg, pk, qs, ef, mi,
+                                                expand=expand,
+                                                n_entry=min(8, ef))
+
+                qps = throughput(prun)
+                rec = recall_of(np.asarray(prun(queries)[1])[:, :k])
+                # graph traffic estimate: ~ef expansions x one (K, D) tile
+                K = int(pk.nbr0.shape[1])
+                gbps = qps * ef * K * (dim * 2 + 8) / 1e9
+                log(f"graph-packed ef={ef}: {qps:.0f} q/s, recall@{k} "
+                    f"{rec:.3f} (~{gbps:.0f} GB/s tile traffic)")
+                if rec > 0.85:
+                    candidates.append((qps, f"graph-packed(ef={ef})", rec))
+                    headline()
+
+    # graph mode, unpacked fallback (also the custom-metric path) — audit
+    # info only; never the headline at 1M, so it runs last
+    if remaining() > 120:
+        expand = max(1, params.query_expand)
+        ef = 64
         mi = (cfg.search_iter_factor * ef) // expand + 16
 
         def grun(qs, ef=ef, mi=mi):
@@ -205,74 +403,22 @@ def main():
         if rec > 0.85:
             candidates.append((qps, f"graph(ef={ef})", rec))
 
-    # block mode (two-level MXU scoring)
-    from hnswindex_tpu.block import BlockIndex
-    bix = BlockIndex(dim, metric, parameters=params)
-    t0 = time.perf_counter()
-    bix.build(vecs)
-    log(f"block build: {time.perf_counter() - t0:.1f}s "
-        f"({bix.n_blocks} blocks)")
-    for n_probe in (2, 3, 4, 8, 16, 64, 128):
-        if n_probe > bix.n_blocks:
-            continue
-
-        def block_run(qs, npb=n_probe):
-            return bix.query_device(qs, k, n_probe=npb)
-
-        qps = throughput(block_run)
-        rec = recall_of(np.asarray(block_run(queries)[1])[:, :k])
-        log(f"block n_probe={n_probe}: {qps:.0f} q/s, recall@{k} {rec:.3f}")
-        if rec > 0.85:
-            candidates.append((qps, f"block(n_probe={n_probe})", rec))
-
-    ct = state.coarse_table
-
-    def exact_run(qs):
-        if ct is not None:
-            return exact_knn2(cfg.metric, state.vectors, ct, state.norms,
-                              state.active, qs, k)
-        return exact_knn(cfg.metric, state.vectors, state.norms,
-                         state.active, qs, k)
-
-    exact_qps = throughput(exact_run)
-    exact_rec = recall_of(np.asarray(exact_run(queries)[1])[:, :k])
-    mfu = exact_qps * 2.0 * dim * n / 394e12  # vs v5e bf16 peak
-    stage = "2-stage bf16+f32" if ct is not None else "f32"
-    log(f"exact ({stage}): {exact_qps:.0f} q/s, recall@{k} {exact_rec:.4f} "
-        f"(~{100 * mfu:.0f}% of bf16 peak)")
-    if exact_rec > 0.85:
-        candidates.append((exact_qps, "exact", exact_rec))
-
     # headline: fastest mode that clears the reference recall bar
-    if not candidates:
-        candidates = [(exact_qps, "exact", exact_rec)]
-    qps, mode, recall = max(candidates)
-    log(f"headline mode: {mode} (recall {recall:.3f}) at N={n} "
-        f"{data_kind}; build {build_rate:.0f} inserts/s")
-
-    # machine-readable detail (VERDICT r2 #9): the driver records the
-    # whole line, so the build bar and link conditions are visible to
-    # future rounds, not just the headline qps
-    print(json.dumps({
-        "metric": "knn_qps_chip",
-        "value": round(qps, 1),
-        "unit": "queries/s",
-        "vs_baseline": round(qps / 100_000, 4),
-        "headline_mode": mode,
-        "headline_recall": round(recall, 4),
-        "build_inserts_per_s": round(build_rate, 1),
-        "build_engine_inserts_per_s": round(engine_rate, 1),
-        "build_upload_s": round(upload_s, 2),
-        "build_vs_bar": round(build_rate / 10_000, 4),
-        "build_engine_vs_bar": round(engine_rate / 10_000, 4),
-        "h2d_link_mbps": round(h2d, 2),
-        "ingest_ceiling_per_s": round(ceil, 1),
-        "modes": {m: {"qps": round(q_, 1), "recall": round(r_, 4)}
-                  for q_, m, r_ in candidates},
-        "n": n, "dim": dim, "data": data_kind,
-    }), flush=True)
+    if not candidates and exact_qps is not None:
+        candidates.append((exact_qps, "exact", exact_rec))
+    if candidates:
+        qps, mode, rec = max(candidates)
+        log(f"headline mode: {mode} (recall {rec:.3f}) at N={n} "
+            f"{data_kind}; build {build_rate:.0f} inserts/s")
+    headline()
+    emit(final=True)
 
 
 if __name__ == "__main__":
-    _watchdog(float(os.environ.get("BENCH_BUDGET_S", "3000")))
+    signal.signal(signal.SIGTERM, _on_sigterm)
+    signal.signal(signal.SIGINT, _on_sigterm)
+    _watchdog()
+    if os.environ.get("BENCH_FAKE_HANG_MAIN") == "1":
+        update(build_inserts_per_s=12345.0)  # pretend a stage landed
+        time.sleep(10**6)
     main()
