@@ -141,6 +141,47 @@ def test_components_empty_graph():
     assert index.get_connected_component_counts() == []
 
 
+def test_components_chain_graph_converges_fast():
+    """Adversarial diameter: a pure chain (diameter = C).  Plain min-label
+    propagation needs O(C) full-table rounds here (the round-3 weakness);
+    pointer jumping must finish in O(log C) rounds — enforced via the
+    loop's iteration cap, which is ~4*log2(C) (components_iter_bound)."""
+    import time
+
+    import jax.numpy as jnp
+
+    from hnswindex_tpu.core import graph as G
+    from hnswindex_tpu.core import stats
+
+    C = 8192
+    cfg = G.GraphConfig(dim=8, metric="sq_euclid", max_edges=4,
+                        max_levels=4, ef_construction=16,
+                        search_iter_factor=4, build_expand=1,
+                        rank_dtype="float32")
+    state = G.empty_state(cfg, C)
+    # chain 0 -> 1 -> ... -> C/2-1 plus a second chain over the top half
+    half = C // 2
+    nbr0 = np.full((C, state.nbr0.shape[1]), -1, np.int32)
+    nbr0[: half - 1, 0] = np.arange(1, half)
+    nbr0[half: C - 1, 0] = np.arange(half + 1, C)
+    state = state._replace(
+        nbr0=jnp.asarray(nbr0),
+        deg0=jnp.asarray((nbr0[:, 0] >= 0).astype(np.int32)),
+        active=jnp.ones((C,), bool),
+        level=jnp.zeros((C,), jnp.int32),
+        ep=jnp.asarray(0, jnp.int32),
+        count=jnp.asarray(C, jnp.int32))
+    bound = stats.components_iter_bound(C)
+    t0 = time.perf_counter()
+    cnt, nonempty = stats._components_at_layer(cfg, state, 0,
+                                               max_iters=bound)
+    assert bool(nonempty) and int(cnt) == 2, int(cnt)
+    # re-run converged (compiled) for the honest wall check
+    cnt, _ = stats._components_at_layer(cfg, state, 0, max_iters=bound)
+    assert int(cnt) == 2
+    assert time.perf_counter() - t0 < 120
+
+
 def test_multi_layer_query(built):
     index, vecs, ids = built
     res = index.multi_layer_knn_query(vecs[7], k=5)
