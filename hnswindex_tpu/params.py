@@ -132,16 +132,30 @@ class HNSWParameters:
     #: (e.g. M=1's deliberately-poor recall, parameters_test.py:24-33).
     reverse_slack: int = 8
 
-    #: Repair width for removals: "fast" (default) repairs affected rows
-    #: against the spans in core/remove.py's REPAIR_* constants; "high"
-    #: doubles the candidate spans and widens the multi-loss fan-in union.
+    #: Repair width for removals: "fast" repairs affected rows against
+    #: the spans in core/remove.py's REPAIR_* constants; "high" doubles
+    #: the candidate spans and widens the multi-loss fan-in union.
     #: Measured at 100k x 50% uniform bulk deletes
     #: (benchmarks/remove_quality_sweep.py): "fast" holds post/pre
     #: recall ratio ~0.96 at full speed, "high" ~0.995 — above the
     #: reference's own 0.98x drift bar (GraphTests.cs:138-148) — at
     #: ~0.57x the removals/s.  Incremental (small-wave) removals are
-    #: near-driftless under either setting.
-    remove_quality: str = "fast"
+    #: near-driftless under either setting.  "auto" (default) escalates
+    #: to "high" when one remove() call covers >= 10% of the live corpus
+    #: and stays on "fast" for incremental churn, so the reference's
+    #: drift bar holds with out-of-the-box parameters
+    #: (core/remove.resolve_quality).
+    remove_quality: str = "auto"
+
+    #: At-scale serving fallback: when the packed graph engine cannot fit
+    #: the device's HBM budget (pack_max_bytes) — the 8M-rows-on-one-chip
+    #: regime — "auto" routes plain layer-0 unfiltered knn_query calls
+    #: through device-built block tables (block.DeviceBlockTables: routed
+    #: MXU block scoring, no host mirrors) instead of the unpacked beam,
+    #: which at that scale is gather-bound to ~150 q/s.  Filtered /
+    #: layered / custom-metric / exact queries are unaffected.  "off"
+    #: restores the always-graph behavior.
+    block_fallback: str = "auto"
 
     def validate(self) -> None:
         if self.max_edges < 1:
@@ -160,5 +174,8 @@ class HNSWParameters:
             raise ValueError("pack_dtype must be 'bf16', 'f32' or 'auto'")
         if self.reverse_slack < 0:
             raise ValueError("reverse_slack must be >= 0")
-        if self.remove_quality not in ("fast", "high"):
-            raise ValueError("remove_quality must be 'fast' or 'high'")
+        if self.remove_quality not in ("auto", "fast", "high"):
+            raise ValueError(
+                "remove_quality must be 'auto', 'fast' or 'high'")
+        if self.block_fallback not in ("auto", "off"):
+            raise ValueError("block_fallback must be 'auto' or 'off'")
