@@ -32,6 +32,68 @@ def test_sharded_build_and_query():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_capacity_growth():
+    """Mesh analog of the reference's resize behavior
+    (GraphResizeTests.cs:17-38): start tiny, insert far past the initial
+    per-shard capacity through several doublings; every previously
+    returned gid stays valid (interleaved gids are capacity-independent)
+    and recall holds."""
+    devices = jax.devices()[:4]
+    S = len(devices)
+    rng = np.random.default_rng(97)
+    p = HNSWParameters(collection_size=10 * S, max_wave_size=64)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    cap0 = idx.shard_capacity
+
+    vecs = rng.random((N, DIM), dtype=np.float32)
+    gids = []
+    for i in range(0, N, 100):      # incremental adds straddle doublings
+        gids.append(idx.add(vecs[i:i + 100]))
+    gids = np.concatenate(gids)
+    assert idx.shard_capacity > cap0          # actually grew
+    assert idx.count == N
+    assert len(set(gids.tolist())) == N       # ids unique across growth
+    # round-robin interleaved gids are dense from 0, like the reference
+    assert sorted(gids.tolist()) == list(range(N))
+
+    ids, _ = idx.knn_query(vecs, k=1)
+    recall = (ids[:, 0] == gids).mean()
+    assert recall > 0.85, recall
+    # early-wave gids (returned before any growth) still resolve to their
+    # original vectors
+    hv = idx._host_vecs()
+    g0 = gids[:10]
+    assert np.allclose(hv[g0 % S, g0 // S], vecs[:10])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_growth_with_removals_and_snapshot(tmp_path):
+    """Growth composes with slot recycling and serialize/deserialize (a
+    grown snapshot restores onto the grown geometry)."""
+    devices = jax.devices()[:4]
+    S = len(devices)
+    rng = np.random.default_rng(98)
+    p = HNSWParameters(collection_size=8 * S, max_wave_size=64,
+                       allow_removals=True)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    vecs = rng.random((300, DIM), dtype=np.float32)
+    gids = idx.add(vecs)
+    assert idx.shard_capacity > 8
+    idx.remove(gids[:50])
+    fresh = rng.random((50, DIM), dtype=np.float32)
+    gnew = idx.add(fresh)
+    assert np.isin(gnew, gids[:50]).all()     # recycled before regrowth
+
+    path = str(tmp_path / "grown.npz")
+    idx.serialize(path)
+    idx2 = ShardedIndex.deserialize(path)
+    assert idx2.shard_capacity == idx.shard_capacity
+    ids_a, d_a = idx.knn_query(vecs[50:82], k=3)
+    ids_b, d_b = idx2.knn_query(vecs[50:82], k=3)
+    assert np.array_equal(ids_a, ids_b)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_exact_mode():
     devices = jax.devices()[:4]
     rng = np.random.default_rng(7)
@@ -145,15 +207,15 @@ def test_sharded_filters_and_layer():
     assert got.size > 0 and np.isin(got, allowed).all()
     # callable predicate over the stored vector
     fi2, _ = idx.knn_query(vecs[:8], k=3, filter_fnc=lambda v: v[0] > 0.5)
-    C = idx.shard_capacity
+    S = idx.n_shards
     hv = idx._host_vecs()
     sel = fi2[fi2 >= 0]
-    assert (hv[sel // C, sel % C][:, 0] > 0.5).all()
+    assert (hv[sel % S, sel // S][:, 0] > 0.5).all()
     # layer argument restricts results to upper-layer members
     li, _ = idx.knn_query(vecs[:16], k=3, layer=1, exact=True)
     lvl = np.asarray(idx._state.level)
     sel = li[li >= 0]
-    assert (lvl[sel // C, sel % C] >= 1).all()
+    assert (lvl[sel % S, sel // S] >= 1).all()
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
@@ -221,10 +283,10 @@ def test_sharded_update():
     ri, _ = idx.knn_query(new_vals, 1)
     assert (ri[:, 0] == gids[:30]).mean() > 0.85
     # stored vectors actually replaced
-    C = idx.shard_capacity
+    S = idx.n_shards
     hv = idx._host_vecs()
     g0 = gids[0]
-    assert np.allclose(hv[g0 // C, g0 % C], new_vals[0])
+    assert np.allclose(hv[g0 % S, g0 // S], new_vals[0])
     with pytest.raises(ValueError):
         idx.update(gids[:2][[0, 0]], new_vals[:2])
     with pytest.raises(ValueError):
@@ -298,14 +360,14 @@ def test_sharded_f64_refined_distances():
     q = rng.random((16, DIM), dtype=np.float32)
     ids, dists = idx.knn_query(q, k=5)
     assert np.nanmin(dists) >= 0.0
-    C = idx.shard_capacity
+    S = idx.n_shards
     hv = idx._host_vecs()
     for r in range(16):
         for c in range(5):
             g = ids[r, c]
             if g < 0:
                 continue
-            ref = float(((q[r] - hv[g // C, g % C]) ** 2).sum())
+            ref = float(((q[r] - hv[g % S, g // S]) ** 2).sum())
             assert abs(ref - dists[r, c]) < 1e-4
 
 
@@ -458,11 +520,11 @@ def test_sharded_callable_filter_lazy():
 
     ids, d = idx.knn_query(vecs[:16], k=3, filter_fnc=pred)
     # every returned id passes the predicate
-    C = idx.shard_capacity
+    S = idx.n_shards
     hv = idx._host_vecs()
     for row in ids:
         for g in row[row >= 0]:
-            assert hv[g // C, g % C][0] > 0.5
+            assert hv[g % S, g // S][0] > 0.5
     # lazily evaluated: far fewer predicate calls than corpus size per
     # query batch (the eager mask would cost >= 200)
     assert 0 < len(calls) < 200 * 16
@@ -470,7 +532,7 @@ def test_sharded_callable_filter_lazy():
     rids, rds = idx.range_query(vecs[:4], radius=4.0, filter_fnc=pred)
     for row, dd in zip(rids, rds):
         for g, dist in zip(row, dd):
-            assert hv[g // C, g % C][0] > 0.5
+            assert hv[g % S, g // S][0] > 0.5
             assert dist <= 4.0
 
 
