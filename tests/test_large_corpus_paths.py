@@ -100,3 +100,60 @@ def test_knn_query_results_labels_from_device(corpus, monkeypatch):
     res = ix.knn_query_results(vecs[3], k=3)
     assert res and res[0].id == ids[3]
     np.testing.assert_allclose(res[0].label, vecs[3], rtol=1e-6)
+
+
+def test_block_fallback_engages_when_pack_cannot_fit():
+    """The 8M-on-one-chip regime, forced at small scale: the pack budget
+    is shrunk to zero so plain layer-0 knn_query must route through the
+    device-built block tables (block.DeviceBlockTables) instead of the
+    unpacked beam (VERDICT r3 weak #3).  Recall through the fallback
+    must clear the reference's own self-recall bar, filtered / layered /
+    exact queries must keep their normal paths, and any mutation must
+    invalidate the tables."""
+    rng = np.random.default_rng(4242)
+    n, dim = 2000, 24
+    vecs = rng.random((n, dim), dtype=np.float32)
+    p = HNSWParameters(collection_size=n, pack_queries="on",
+                       pack_max_bytes=0, pack_min_count=0,
+                       allow_removals=True)
+    ix = HNSWIndex(dim, parameters=p)
+    ids = ix.add(vecs)
+    assert ix._get_pack() is None          # budget-refused
+    rid, rd = ix.knn_query(vecs, k=1)
+    assert ix._block_fb is not None, "block fallback did not engage"
+    recall = float((rid[:, 0] == ids).mean())
+    assert recall > 0.85, recall
+    assert np.all(np.diff(np.nan_to_num(rd, nan=np.inf), axis=1) >= -1e-6)
+
+    # filtered queries keep the (filter-correct) graph path
+    allowed = ids[: n // 4]
+    fi, _ = ix.knn_query(vecs[:32], k=3, filter_fnc=allowed)
+    got = fi[fi >= 0]
+    assert got.size > 0 and np.isin(got, allowed).all()
+
+    # exact queries keep the brute-force path (recall 1.0 on self-query)
+    ei, _ = ix.knn_query(vecs[:64], k=1, exact=True)
+    assert (ei[:, 0] == ids[:64]).all()
+
+    # mutation drops the tables; next query rebuilds and removed ids
+    # never come back
+    ix.remove(ids[:100])
+    assert ix._block_fb is None
+    rid2, _ = ix.knn_query(vecs[100:200], k=1)
+    assert ix._block_fb is not None
+    assert not np.isin(rid2[rid2 >= 0], ids[:100]).any()
+    assert float((rid2[:, 0] == ids[100:200]).mean()) > 0.85
+
+
+def test_block_fallback_off_restores_graph_path():
+    rng = np.random.default_rng(4243)
+    n, dim = 600, 16
+    vecs = rng.random((n, dim), dtype=np.float32)
+    p = HNSWParameters(collection_size=n, pack_queries="on",
+                       pack_max_bytes=0, pack_min_count=0,
+                       block_fallback="off")
+    ix = HNSWIndex(dim, parameters=p)
+    ids = ix.add(vecs)
+    rid, _ = ix.knn_query(vecs[:100], k=1)
+    assert ix._block_fb is None            # stayed on the graph beam
+    assert float((rid[:, 0] == ids[:100]).mean()) > 0.85
