@@ -86,6 +86,35 @@ t0 = time.perf_counter()
 for _ in range(REPS):
     ids, d = idx.knn_query(qpool, 10)
 qps = REPS * NQ / (time.perf_counter() - t0)
-log(f"fallback serve: {qps:.0f} q/s, recall@10 {rec:.3f} at N={PN}")
+log(f"fallback serve (host path): {qps:.0f} q/s, recall@10 {rec:.3f} "
+    f"at N={PN}  [per-call relay RTT bound: one query upload + one "
+    f"result sync per batch costs 30-130 ms through the tunnel]")
+
+# device-resident sweep (the engine number, same convention as bench.py's
+# block mode): queries already on device, REPS chained calls, one sync
+from hnswindex_tpu.block import device_block_query
+
+fb = idx._block_fb
+for npb in (8, 12, 16, 24, 32, 48):
+    if npb > fb.n_blocks:
+        continue
+    di, = (device_block_query(idx.metric, fb, qj, 10, npb, True)[1],)
+    np.asarray(di)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        di = device_block_query(idx.metric, fb, qj, 10, npb, True)[1]
+    np.asarray(di)
+    dqps = REPS * NQ / (time.perf_counter() - t0)
+    ids_np = np.asarray(di)
+    drec = float(np.mean([
+        len(set(ids_np[r, :10].tolist()) & set(gt[r].tolist())) / 10
+        for r in range(NQ)]))
+    # refined ceiling: recall after a perfect re-rank of the whole panel
+    crec = float(np.mean([
+        len(set(ids_np[r].tolist()) & set(gt[r].tolist())) / 10
+        for r in range(NQ)]))
+    log(f"device-resident n_probe={npb}: {dqps:.0f} q/s, raw recall@10 "
+        f"{drec:.3f}, refined-ceiling {crec:.3f} (panel {ids_np.shape[1]})")
+
 print(f'{{"probe": "blockfb", "n": {PN}, "qps": {qps:.1f}, '
       f'"recall": {rec:.4f}}}')

@@ -732,10 +732,16 @@ class HNSWIndex:
             return None
         # the pack refused: distinguish "budget" from "no entry point"
         from .block import build_device_block_tables
+        # prefer the bf16 coarse table (maintained for exact_knn2) over a
+        # float32 ranking table: half the tile HBM and scoring bandwidth,
+        # and the f64 refine re-ranks the oversampled panel exactly — the
+        # same coarse-then-rescore argument as the two-stage exact scan
+        src = self._state.coarse_table
+        if src is None:
+            src = self._state.vlo
         with profiler.phase("blockfb.build"):
             self._block_fb = build_device_block_tables(
-                self.metric, self._state.vlo,
-                np.asarray(self._state.active),
+                self.metric, src, np.asarray(self._state.active),
                 seed=(p.random_seed if p.random_seed >= 0 else None))
         return self._block_fb
 
