@@ -162,16 +162,20 @@ class DeviceBlockTables(NamedTuple):
 def _gather_rows_bounded(table, idx, chunk: int = 4096 * 128):
     """Row gather in bounded steps: one whole-index gather materializes
     the full (len(idx), D) output plus XLA's lane-padded index transient;
-    chunking caps the transient at ``chunk`` rows."""
+    chunking caps the transient at ``chunk`` rows.  Negative indices
+    yield zero rows (masked in-chunk — a post-hoc full-size jnp.where
+    would double the output's HBM footprint, which tipped an 8M build
+    over the edge)."""
     n = idx.shape[0]
     D = table.shape[1]
     steps = -(-n // chunk)
     out0 = jnp.zeros((steps * chunk, D), table.dtype)
-    idxp = jnp.pad(idx, (0, steps * chunk - n))
+    idxp = jnp.pad(idx, (0, steps * chunk - n), constant_values=-1)
 
     def body(i, out):
         sl = lax.dynamic_slice_in_dim(idxp, i * chunk, chunk)
         rows = table[jnp.clip(sl, 0, table.shape[0] - 1)]
+        rows = jnp.where((sl >= 0)[:, None], rows, 0)
         return lax.dynamic_update_slice(out, rows, (i * chunk, 0))
 
     return lax.fori_loop(0, steps, body, out0)[:n]
@@ -210,6 +214,12 @@ def build_device_block_tables(metric: str, rank_vecs, active_np: np.ndarray,
     else:
         labels = np.zeros(N, np.int32)
 
+    # free the live copy before tiling: at 8M rows the graph state alone
+    # holds ~11.5 GB of HBM, and state + live copy + tiles + a transient
+    # does not fit 16 GB (measured OOM) — the block gather reads the
+    # SOURCE table again instead
+    del vl
+
     # host layout from the (N,) labels (the only full readback: 4 bytes/row)
     order = np.argsort(labels, kind="stable")
     boundaries = np.flatnonzero(np.diff(labels[order])) + 1
@@ -217,25 +227,24 @@ def build_device_block_tables(metric: str, rank_vecs, active_np: np.ndarray,
               for seg in np.split(order, boundaries)
               for s in range(0, seg.size, BS)]
     NB = len(blocks)
-    blk_local = np.full((NB, BS), -1, np.int64)
     blk_slots = np.full((NB, BS), -1, np.int32)
     for b, members in enumerate(blocks):
-        blk_local[b, :members.size] = members
         blk_slots[b, :members.size] = live[members]
     fill = (blk_slots >= 0).sum(axis=1).astype(np.int32)
 
-    # device: block member tiles from the live table, centroids in f32
-    loc_j = jnp.asarray(np.where(blk_local >= 0, blk_local, 0))
-    mask = jnp.asarray(blk_local >= 0)
-    bv = _gather_rows_bounded(vl, loc_j.reshape(-1)).reshape(NB, BS, D)
-    bv = jnp.where(mask[:, :, None], bv, 0)
+    # device: block member tiles (invalid lanes zeroed in-chunk by the
+    # gather), centroids accumulated in f32 without a full f32 copy
+    slots_j = jnp.asarray(blk_slots)
+    bv = _gather_rows_bounded(
+        rank_vecs, slots_j.reshape(-1)).reshape(NB, BS, D)
+    mask = slots_j >= 0
     fill_j = jnp.asarray(fill)
-    cents = (jnp.sum(bv.astype(jnp.float32), axis=1)
+    cents = (jnp.sum(bv, axis=1, dtype=jnp.float32)
              / jnp.maximum(fill_j, 1)[:, None].astype(jnp.float32))
     bnorms = jnp.where(mask, dst.norm_data(metric, bv).astype(jnp.float32),
                        0.0)
     return DeviceBlockTables(
-        blk_vecs=bv, blk_ids=jnp.asarray(blk_slots), blk_fill=fill_j,
+        blk_vecs=bv, blk_ids=slots_j, blk_fill=fill_j,
         blk_norms=bnorms, cents=cents,
         cent_norms=dst.norm_data(metric, cents),
         cent_valid=fill_j > 0, n_blocks=NB)
