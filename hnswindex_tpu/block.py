@@ -147,11 +147,20 @@ class DeviceBlockTables(NamedTuple):
     serving fell back to a ~150 q/s unpacked beam; blocks serve the same
     corpus at tens of thousands q/s).  No host mirrors: built FROM the
     device-resident ranking table, so an 8M corpus never crosses the
-    host link (a 2-4 GB transfer through a 10-18 MB/s relay)."""
-    blk_vecs: jnp.ndarray      # (NB, BS, D) ranking dtype (bf16 on TPU)
+    host link (a 2-4 GB transfer through a 10-18 MB/s relay).
+
+    Tiles are bf16, or — when the graph state plus bf16 tiles would
+    exceed the chip's HBM (measured: an 8.4M 128-d build OOMs there) —
+    per-block-scaled int8.  Quantized distances are exact FOR THE
+    QUANTIZED VALUES (dot(q, s*v8) = s*dot(q, v8) with stored
+    s^2*|v8|^2 norms), so the only ranking error is the quantization
+    itself, absorbed by the oversampled panel + float64 refine."""
+    blk_vecs: jnp.ndarray      # (NB, BS, D) bf16, or int8 (quantized)
+    blk_scale: jnp.ndarray     # (NB,) f32 dequant scale (ones for bf16)
     blk_ids: jnp.ndarray       # (NB, BS) i32 corpus slot ids, -1 pad
     blk_fill: jnp.ndarray      # (NB,) i32 live members per block
-    blk_norms: jnp.ndarray     # (NB, BS) f32 member norms
+    blk_norms: jnp.ndarray     # (NB, BS) f32 member norms (of the
+    #                            dequantized values in int8 mode)
     cents: jnp.ndarray         # (NB, D) f32 centroids
     cent_norms: jnp.ndarray    # (NB,) f32
     cent_valid: jnp.ndarray    # (NB,) bool
@@ -181,9 +190,50 @@ def _gather_rows_bounded(table, idx, chunk: int = 4096 * 128):
     return lax.fori_loop(0, steps, body, out0)[:n]
 
 
+@partial(jax.jit, static_argnames=("metric", "BS", "chunk_blocks"))
+def _gather_quant_blocks(metric: str, table, slots, BS: int,
+                         chunk_blocks: int = 4096):
+    """Fused chunked gather + per-block int8 quantization.
+
+    ``slots (NBp*BS,)`` (-1 pad, NBp a multiple of chunk_blocks) ->
+    ``(q8 (NBp*BS, D) int8, scale (NBp,) f32, sums (NBp, D) f32,
+    norms (NBp*BS,) f32)``.  One pass bounds every transient at the
+    chunk: the f32 dequant intermediate exists only per chunk, never at
+    table size (at 8M a full-size f32 intermediate alone is ~4.3 GB)."""
+    n = slots.shape[0]
+    D = table.shape[1]
+    CB = chunk_blocks
+    steps = n // (CB * BS)
+    q8 = jnp.zeros((n, D), jnp.int8)
+    sc = jnp.zeros((n // BS,), jnp.float32)
+    sm = jnp.zeros((n // BS, D), jnp.float32)
+    nm = jnp.zeros((n,), jnp.float32)
+
+    def body(i, carry):
+        q8, sc, sm, nm = carry
+        sl = lax.dynamic_slice_in_dim(slots, i * CB * BS, CB * BS)
+        rows = table[jnp.clip(sl, 0, table.shape[0] - 1)]
+        rows = jnp.where((sl >= 0)[:, None], rows, 0)
+        r3 = rows.reshape(CB, BS, D).astype(jnp.float32)
+        m = jnp.max(jnp.abs(r3), axis=(1, 2))
+        s = jnp.maximum(m, 1e-30) / 127.0
+        q = jnp.clip(jnp.round(r3 / s[:, None, None]),
+                     -127, 127).astype(jnp.int8)
+        dq = q.astype(jnp.float32) * s[:, None, None]
+        norms = dst.norm_data(metric, dq).reshape(CB * BS)
+        return (lax.dynamic_update_slice(q8, q.reshape(CB * BS, D),
+                                         (i * CB * BS, 0)),
+                lax.dynamic_update_slice(sc, s, (i * CB,)),
+                lax.dynamic_update_slice(sm, r3.sum(axis=1), (i * CB, 0)),
+                lax.dynamic_update_slice(nm, norms, (i * CB * BS,)))
+
+    return lax.fori_loop(0, steps, body, (q8, sc, sm, nm))
+
+
 def build_device_block_tables(metric: str, rank_vecs, active_np: np.ndarray,
                               block_size: int = 128, kmeans_iters: int = 4,
-                              seed=None) -> Optional[DeviceBlockTables]:
+                              seed=None, quantize: bool = False
+                              ) -> Optional[DeviceBlockTables]:
     """Build DeviceBlockTables straight from a device-resident corpus.
 
     ``rank_vecs`` is the engine's (C, D) ranking table (GraphState.vlo —
@@ -234,17 +284,39 @@ def build_device_block_tables(metric: str, rank_vecs, active_np: np.ndarray,
 
     # device: block member tiles (invalid lanes zeroed in-chunk by the
     # gather), centroids accumulated in f32 without a full f32 copy
-    slots_j = jnp.asarray(blk_slots)
-    bv = _gather_rows_bounded(
-        rank_vecs, slots_j.reshape(-1)).reshape(NB, BS, D)
-    mask = slots_j >= 0
-    fill_j = jnp.asarray(fill)
-    cents = (jnp.sum(bv, axis=1, dtype=jnp.float32)
-             / jnp.maximum(fill_j, 1)[:, None].astype(jnp.float32))
-    bnorms = jnp.where(mask, dst.norm_data(metric, bv).astype(jnp.float32),
-                       0.0)
+    if quantize:
+        # pad the BLOCK COUNT to the quant gather's chunk granularity and
+        # keep the padded width throughout — slicing the padding off
+        # afterwards would transiently hold two table-sized buffers,
+        # which is exactly the HBM margin this mode exists to save.
+        # Padding blocks have fill 0: cent_valid masks them from routing
+        # and their -1 ids are masked in scoring.
+        CB = min(4096, 1 << max(0, int(NB - 1).bit_length()))
+        NBp = -(-NB // CB) * CB
+        blk_slots = np.concatenate(
+            [blk_slots, np.full((NBp - NB, BS), -1, np.int32)])
+        fill = np.concatenate([fill, np.zeros(NBp - NB, np.int32)])
+        NB = NBp
+        fill_j = jnp.asarray(fill)
+        slots_j = jnp.asarray(blk_slots)
+        q8, scale, sm, nm = _gather_quant_blocks(
+            metric, rank_vecs, slots_j.reshape(-1), BS, chunk_blocks=CB)
+        bv = q8.reshape(NB, BS, D)
+        cents = sm / jnp.maximum(fill_j, 1)[:, None].astype(jnp.float32)
+        bnorms = jnp.where(slots_j >= 0, nm.reshape(NB, BS), 0.0)
+    else:
+        fill_j = jnp.asarray(fill)
+        slots_j = jnp.asarray(blk_slots)
+        bv = _gather_rows_bounded(
+            rank_vecs, slots_j.reshape(-1)).reshape(NB, BS, D)
+        scale = jnp.ones((NB,), jnp.float32)
+        cents = (jnp.sum(bv, axis=1, dtype=jnp.float32)
+                 / jnp.maximum(fill_j, 1)[:, None].astype(jnp.float32))
+        bnorms = jnp.where(slots_j >= 0,
+                           dst.norm_data(metric, bv).astype(jnp.float32),
+                           0.0)
     return DeviceBlockTables(
-        blk_vecs=bv, blk_ids=slots_j, blk_fill=fill_j,
+        blk_vecs=bv, blk_scale=scale, blk_ids=slots_j, blk_fill=fill_j,
         blk_norms=bnorms, cents=cents,
         cent_norms=dst.norm_data(metric, cents),
         cent_valid=fill_j > 0, n_blocks=NB)
@@ -266,11 +338,62 @@ def device_block_query(metric: str, tbl: DeviceBlockTables, qj, k: int,
     bids = _route_exact(metric, tbl.cents, tbl.cent_norms, qj,
                         min(n_probe, tbl.n_blocks), tbl.cent_valid)
     kk = max(k, min(oversample * k, 128))
+    if tbl.blk_vecs.dtype == jnp.int8:
+        return _score_blocks_q8(metric, tbl.blk_vecs, tbl.blk_scale,
+                                tbl.blk_ids, tbl.blk_norms, qj, bids, kk)
     if use_pallas:
         return _score_blocks_pallas(metric, tbl.blk_vecs, tbl.blk_ids,
                                     tbl.blk_fill, qj, bids, kk)
     return _score_blocks(metric, tbl.blk_vecs, tbl.blk_ids, tbl.blk_norms,
                          qj, bids, kk)
+
+
+@partial(jax.jit, static_argnames=("metric", "k"))
+def _score_blocks_q8(metric, blk_vecs, blk_scale, blk_ids, blk_norms, q,
+                     bids, k: int):
+    """_score_blocks for per-block-scaled int8 tiles.
+
+    dot(q, s*v8) = s * dot(q, v8) and the stored norms are of the
+    dequantized values, so distances are exact for the quantized points
+    — the quantization error is the only ranking perturbation, and the
+    caller's oversampled panel + f64 refine absorb it."""
+    B, P = bids.shape
+    NB, BS, D = blk_vecs.shape
+    qn = dst.norm_data(metric, q)
+    PG = 4
+    npad = -(-P // PG) * PG - P
+    if npad:
+        bids = jnp.pad(bids, ((0, 0), (0, npad)), constant_values=-1)
+    P2 = bids.shape[1]
+
+    def body(g, carry):
+        bd, bi = carry
+        ids_g = lax.dynamic_slice_in_dim(bids, g * PG, PG, axis=1)
+        ok = ids_g >= 0
+        idc = jnp.clip(ids_g, 0, NB - 1)
+        vg = blk_vecs[idc]                      # (B, PG, BS, D) int8
+        sg = blk_scale[idc]                     # (B, PG)
+        ng = blk_norms[idc]                     # (B, PG, BS)
+        ig = blk_ids[idc]                       # (B, PG, BS)
+        dots = jnp.einsum("bpsd,bd->bps", vg.astype(jnp.bfloat16),
+                          q.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        dots = dots * sg[:, :, None]
+        dd = dst.from_dot(metric, dots, qn[:, None, None], ng)
+        valid = (ig >= 0) & ok[:, :, None]
+        dd = jnp.where(valid, dd, jnp.inf).reshape(B, PG * BS)
+        ii = jnp.where(valid, ig, -1).reshape(B, PG * BS)
+        md = jnp.concatenate([bd, dd], axis=1)
+        mi = jnp.concatenate([bi, ii], axis=1)
+        ordr = jnp.argsort(md, axis=1)[:, :k]
+        return (jnp.take_along_axis(md, ordr, axis=1),
+                jnp.take_along_axis(mi, ordr, axis=1))
+
+    bd0 = jnp.full((B, k), jnp.inf, jnp.float32)
+    bi0 = jnp.full((B, k), -1, jnp.int32)
+    bd, bi = lax.fori_loop(0, P2 // PG, body, (bd0, bi0))
+    bi = jnp.where(jnp.isfinite(bd), bi, -1)
+    return bd, bi
 
 
 class BlockIndex:

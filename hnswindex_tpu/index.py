@@ -30,6 +30,7 @@ import os
 import time
 from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -739,10 +740,22 @@ class HNSWIndex:
         src = self._state.coarse_table
         if src is None:
             src = self._state.vlo
+        # int8 tiles when the graph state + bf16 tiles would not fit the
+        # chip (measured: an 8.4M 128-d build OOMs the bf16 gather).
+        # memory_stats() is unavailable through remote relays, so the
+        # estimate is static: exact state bytes + projected tile bytes
+        # + 1 GB headroom vs 95% of HBM (HNSW_HBM_BYTES overridable).
+        hbm = int(os.environ.get("HNSW_HBM_BYTES", str(16 << 30)))
+        state_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+            self._state))
+        tile_rows = -(-self._count_host // 96) * 128   # ~75% target fill
+        quantize = (state_bytes + tile_rows * self.dim * 2 + (1 << 30)
+                    > int(0.95 * hbm))
         with profiler.phase("blockfb.build"):
             self._block_fb = build_device_block_tables(
                 self.metric, src, np.asarray(self._state.active),
-                seed=(p.random_seed if p.random_seed >= 0 else None))
+                seed=(p.random_seed if p.random_seed >= 0 else None),
+                quantize=quantize)
         return self._block_fb
 
     def _block_fallback_query(self, fb, q: np.ndarray, k: int
@@ -754,8 +767,7 @@ class HNSWIndex:
         # (hence recall) holds as blocks multiply; the 1M-measured knee
         # was ~4-8 probes of 13.5k blocks (benchmarks/RESULTS.md)
         n_probe = max(8, fb.n_blocks // 1024)
-        import jax as _jax
-        use_pallas = _jax.devices()[0].platform in ("tpu", "axon")
+        use_pallas = jax.devices()[0].platform in ("tpu", "axon")
         out_ids = np.empty((n, k), np.int32)
         out_d = np.empty((n, k), np.float32)
         for i in range(0, n, QUERY_BUCKETS[-1]):

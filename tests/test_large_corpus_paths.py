@@ -145,6 +145,28 @@ def test_block_fallback_engages_when_pack_cannot_fit():
     assert float((rid2[:, 0] == ids[100:200]).mean()) > 0.85
 
 
+def test_block_fallback_int8_tiles(monkeypatch):
+    """The HBM-short regime one step further: when even bf16 tiles would
+    not fit next to the graph state, the fallback quantizes tiles to
+    per-block int8 (distances exact for the quantized values; panel
+    oversample + f64 refine absorb the quantization noise).  Forced by
+    shrinking the assumed HBM budget."""
+    monkeypatch.setenv("HNSW_HBM_BYTES", "1")
+    rng = np.random.default_rng(4244)
+    n, dim = 2000, 24
+    vecs = rng.random((n, dim), dtype=np.float32)
+    p = HNSWParameters(collection_size=n, pack_queries="on",
+                       pack_max_bytes=0, pack_min_count=0)
+    ix = HNSWIndex(dim, parameters=p)
+    ids = ix.add(vecs)
+    rid, rd = ix.knn_query(vecs, k=1)
+    fb = ix._block_fb
+    assert fb is not None and fb.blk_vecs.dtype == np.int8
+    recall = float((rid[:, 0] == ids).mean())
+    assert recall > 0.85, recall
+    assert np.all(np.diff(np.nan_to_num(rd, nan=np.inf), axis=1) >= -1e-6)
+
+
 def test_block_fallback_off_restores_graph_path():
     rng = np.random.default_rng(4243)
     n, dim = 600, 16
