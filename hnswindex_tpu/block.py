@@ -95,9 +95,9 @@ def _kmeans_device(vecs, cents0, iters: int, chunk: int):
     # labels ride the carry (only the final assignment is needed) — stacking
     # per-iteration label history would burn iters*(N,) i32 of HBM.
     labels0 = jnp.zeros((n_chunks * chunk,), jnp.int32)
-    (_, labels), _ = lax.scan(one_iter, (cents0, labels0), None,
-                              length=iters)
-    return labels[:N]
+    (cents, labels), _ = lax.scan(one_iter, (cents0, labels0), None,
+                                  length=iters)
+    return labels[:N], cents
 
 
 def _kmeans(vecs: np.ndarray, n_clusters: int, iters: int,
@@ -105,8 +105,8 @@ def _kmeans(vecs: np.ndarray, n_clusters: int, iters: int,
     """Mini k-means; returns (N,) labels."""
     N, D = vecs.shape
     idx0 = rng.choice(N, n_clusters, replace=False)
-    labels = _kmeans_device(jnp.asarray(vecs), jnp.asarray(vecs[idx0]),
-                            iters, min(_ASSIGN_CHUNK, max(N, 8)))
+    labels, _ = _kmeans_device(jnp.asarray(vecs), jnp.asarray(vecs[idx0]),
+                               iters, min(_ASSIGN_CHUNK, max(N, 8)))
     return np.asarray(labels)
 
 
@@ -190,6 +190,30 @@ def _gather_rows_bounded(table, idx, chunk: int = 4096 * 128):
     return lax.fori_loop(0, steps, body, out0)[:n]
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _assign_rows_chunked(table, idx, cents, chunk: int = 4096):
+    """Nearest-centroid label per gathered row, in bounded chunks.
+
+    The (chunk, NC) score panel is the binding transient — at 8M rows
+    NC ~ 87k centroids, so 4096-row chunks keep it under ~1.5 GB (the
+    same envelope the k-means assignment loop survives at)."""
+    n = idx.shape[0]
+    steps = -(-n // chunk)
+    idxp = jnp.pad(idx, (0, steps * chunk - n), constant_values=-1)
+    cn = jnp.sum(cents * cents, axis=1)
+    out0 = jnp.zeros((steps * chunk,), jnp.int32)
+
+    def body(i, out):
+        sl = lax.dynamic_slice_in_dim(idxp, i * chunk, chunk)
+        rows = table[jnp.clip(sl, 0, table.shape[0] - 1)]
+        dots = jnp.einsum("nd,cd->nc", rows, cents,
+                          preferred_element_type=jnp.float32)
+        lab = jnp.argmin(cn[None, :] - 2.0 * dots, axis=1).astype(jnp.int32)
+        return lax.dynamic_update_slice(out, lab, (i * chunk,))
+
+    return lax.fori_loop(0, steps, body, out0)[:n]
+
+
 @partial(jax.jit, static_argnames=("metric", "BS", "chunk_blocks"))
 def _gather_quant_blocks(metric: str, table, slots, BS: int,
                          chunk_blocks: int = 4096):
@@ -214,17 +238,32 @@ def _gather_quant_blocks(metric: str, table, slots, BS: int,
         sl = lax.dynamic_slice_in_dim(slots, i * CB * BS, CB * BS)
         rows = table[jnp.clip(sl, 0, table.shape[0] - 1)]
         rows = jnp.where((sl >= 0)[:, None], rows, 0)
-        r3 = rows.reshape(CB, BS, D).astype(jnp.float32)
-        m = jnp.max(jnp.abs(r3), axis=(1, 2))
+        r3 = rows.reshape(CB, BS, D)
+        m = jnp.max(jnp.abs(r3).astype(jnp.float32), axis=(1, 2))
         s = jnp.maximum(m, 1e-30) / 127.0
-        q = jnp.clip(jnp.round(r3 / s[:, None, None]),
+        # ONE full-chunk f32 transient (the scaled divide); sums, norms
+        # and max reduce without materializing further f32 copies
+        q = jnp.clip(jnp.round(r3.astype(jnp.float32)
+                               / s[:, None, None]),
                      -127, 127).astype(jnp.int8)
-        dq = q.astype(jnp.float32) * s[:, None, None]
-        norms = dst.norm_data(metric, dq).reshape(CB * BS)
+        # norms of the DEQUANTIZED values: |q8|^2 accumulates exactly in
+        # int32 (<= 128 * 127^2), then rescales per metric — sq_euclid's
+        # |v|^2 by s^2, cosine's |v| by s, ucosine's zeros untouched
+        nq2 = jnp.einsum("cbd,cbd->cb", q, q,
+                         preferred_element_type=jnp.int32) \
+            .astype(jnp.float32)
+        if metric == "sq_euclid":
+            norms = nq2 * (s * s)[:, None]
+        elif metric == "cosine":
+            norms = jnp.sqrt(nq2) * s[:, None]
+        else:
+            norms = jnp.zeros_like(nq2)
+        norms = norms.reshape(CB * BS)
+        sums = jnp.sum(r3, axis=1, dtype=jnp.float32)
         return (lax.dynamic_update_slice(q8, q.reshape(CB * BS, D),
                                          (i * CB * BS, 0)),
                 lax.dynamic_update_slice(sc, s, (i * CB,)),
-                lax.dynamic_update_slice(sm, r3.sum(axis=1), (i * CB, 0)),
+                lax.dynamic_update_slice(sm, sums, (i * CB, 0)),
                 lax.dynamic_update_slice(nm, norms, (i * CB * BS,)))
 
     return lax.fori_loop(0, steps, body, (q8, sc, sm, nm))
@@ -251,24 +290,30 @@ def build_device_block_tables(metric: str, rank_vecs, active_np: np.ndarray,
     BS = int(block_size)
     D = int(rank_vecs.shape[1])
     rng = np.random.default_rng(seed)
-    vl = _gather_rows_bounded(rank_vecs, jnp.asarray(live))     # (N, D)
 
     n_clusters = max(1, int(np.ceil(N / (0.75 * BS))))
     if n_clusters > 1:
-        idx0 = rng.choice(N, n_clusters, replace=False)
+        # HBM discipline (an 8.4M build measured ~11.6 GB of graph state
+        # on a 16 GB chip): never copy the whole live corpus.  Train
+        # centroids on a bounded SAMPLE, then label every live row with
+        # one chunked assignment pass straight off the source table —
+        # peak extra HBM is the sample (~0.5 GB) plus chunk transients.
+        sample = min(N, max(2 * n_clusters, 1 << 21))
+        sub = np.sort(rng.choice(N, sample, replace=False)) \
+            if sample < N else np.arange(N)
+        vs = _gather_rows_bounded(rank_vecs, jnp.asarray(live[sub]))
+        idx0 = rng.choice(sample, n_clusters, replace=False)
         # f32 seed centroids: the scan carry dtype is invariant and the
         # update step produces f32 means
-        labels = np.asarray(_kmeans_device(
-            vl, vl[jnp.asarray(idx0)].astype(jnp.float32), kmeans_iters,
-            min(_ASSIGN_CHUNK, max(N, 8))))
+        _, cents_d = _kmeans_device(
+            vs, vs[jnp.asarray(idx0)].astype(jnp.float32), kmeans_iters,
+            min(_ASSIGN_CHUNK, max(sample, 8)))
+        del vs
+        labels = np.asarray(_assign_rows_chunked(
+            rank_vecs, jnp.asarray(live), cents_d))
+        del cents_d
     else:
         labels = np.zeros(N, np.int32)
-
-    # free the live copy before tiling: at 8M rows the graph state alone
-    # holds ~11.5 GB of HBM, and state + live copy + tiles + a transient
-    # does not fit 16 GB (measured OOM) — the block gather reads the
-    # SOURCE table again instead
-    del vl
 
     # host layout from the (N,) labels (the only full readback: 4 bytes/row)
     order = np.argsort(labels, kind="stable")
