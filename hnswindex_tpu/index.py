@@ -741,16 +741,19 @@ class HNSWIndex:
         if src is None:
             src = self._state.vlo
         # int8 tiles when the graph state + bf16 tiles would not fit the
-        # chip (measured: an 8.4M 128-d build OOMs the bf16 gather).
-        # memory_stats() is unavailable through remote relays, so the
-        # estimate is static: exact state bytes + projected tile bytes
-        # + 1 GB headroom vs 95% of HBM (HNSW_HBM_BYTES overridable).
+        # chip (measured: an 8.4M 128-d build OOMs the bf16 gather at a
+        # projected ~14.2e9 bytes on a "16 GB" v5e — runtime reserves +
+        # fragmentation leave well under the nameplate usable, hence the
+        # conservative 0.80 factor).  memory_stats() is unavailable
+        # through remote relays, so the estimate is static: exact state
+        # bytes + projected tile bytes + 1 GB transient headroom vs 80%
+        # of HBM (HNSW_HBM_BYTES overridable).
         hbm = int(os.environ.get("HNSW_HBM_BYTES", str(16 << 30)))
         state_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
             self._state))
         tile_rows = -(-self._count_host // 96) * 128   # ~75% target fill
         quantize = (state_bytes + tile_rows * self.dim * 2 + (1 << 30)
-                    > int(0.95 * hbm))
+                    > int(0.80 * hbm))
         with profiler.phase("blockfb.build"):
             self._block_fb = build_device_block_tables(
                 self.metric, src, np.asarray(self._state.active),
