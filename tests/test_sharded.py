@@ -155,6 +155,54 @@ def test_sharded_serialize_roundtrip(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_snapshot_gid_scheme_guard(tmp_path):
+    """Snapshots carry a gid-scheme marker; pre-interleaved snapshots
+    (no marker / wrong marker) are rejected instead of silently remapping
+    every externally-held gid (ADVICE r4 medium)."""
+    import json
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(29)
+    p = HNSWParameters(collection_size=64, max_wave_size=32)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    idx.add(rng.random((40, DIM), dtype=np.float32))
+    path = str(tmp_path / "snap.npz")
+    idx.serialize(path)
+    with np.load(path) as z:
+        header = json.loads(bytes(z["header"]).decode())
+        arrays = {f: z[f] for f in z.files if f != "header"}
+    assert header["gid_scheme"] == "interleaved"
+    # forge a legacy (marker-less) snapshot
+    del header["gid_scheme"]
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez_compressed(
+        legacy,
+        header=np.frombuffer(json.dumps(header).encode(), np.uint8),
+        **arrays)
+    with pytest.raises(ValueError, match="gid"):
+        ShardedIndex.deserialize(legacy, devices=devices)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_bool_filter_mask_shape_guard():
+    """A wrong-length bool filter mask raises instead of being
+    reinterpreted as a {0,1} id list (ADVICE r4 low)."""
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(31)
+    p = HNSWParameters(collection_size=64, max_wave_size=32)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(rng.random((40, DIM), dtype=np.float32))
+    q = rng.random((4, DIM), dtype=np.float32)
+    with pytest.raises(ValueError, match="bool filter mask"):
+        idx.knn_query(q, 3, filter_fnc=np.ones(7, dtype=bool))
+    # a correctly-sized mask still works
+    total = idx.n_shards * idx.shard_capacity
+    mask = np.zeros(total, dtype=bool)
+    mask[gids[:10]] = True
+    ids, _ = idx.knn_query(q, 3, filter_fnc=mask)
+    assert np.isin(ids[ids >= 0], gids[:10]).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 def test_sharded_remove():
     devices = jax.devices()[:2]
     rng = np.random.default_rng(17)
@@ -534,6 +582,37 @@ def test_sharded_callable_filter_lazy():
         for g, dist in zip(row, dd):
             assert hv[g % S, g // S][0] > 0.5
             assert dist <= 4.0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+def test_sharded_callable_filter_selective_fills_k():
+    """A selective predicate (few passing rows) must still fill k on the
+    mesh: when the widened beam saturates short, the sharded path now
+    escalates to ONE exact top-cap round exactly like the single-chip
+    facade (ADVICE r4 low — parity drift closed)."""
+    devices = jax.devices()[:2]
+    rng = np.random.default_rng(43)
+    vecs = rng.random((300, DIM), dtype=np.float32)
+    # make a small identifiable subset: first coordinate pushed far out
+    special = rng.permutation(300)[:12]
+    vecs[special, 0] += 10.0
+    p = HNSWParameters(collection_size=512, max_wave_size=64)
+    idx = ShardedIndex(DIM, parameters=p, devices=devices)
+    gids = idx.add(vecs)
+
+    def pred(v):
+        return v[0] > 5.0
+
+    # query from the bulk (far from the special set): the beam finds the
+    # nearest neighbors first, none of which pass — only the exact
+    # escalation can surface all 12 passing rows
+    q = rng.random((4, DIM), dtype=np.float32)
+    ids, d = idx.knn_query(q, k=10, filter_fnc=pred)
+    special_gids = set(gids[special].tolist())
+    for row in ids:
+        got = [int(g) for g in row if g >= 0]
+        assert len(got) == 10
+        assert set(got) <= special_gids
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
