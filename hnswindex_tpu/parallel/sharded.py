@@ -129,6 +129,7 @@ class ShardedIndex:
         self._upper_set: List[set] = [set() for _ in range(self.n_shards)]
         self._shwm = 0                  # slot high-water mark (scan prefix)
         self._wave_trace: Optional[list] = None   # test hook: per-wave widths
+        self._rm_trace: Optional[list] = None     # test hook: removal launches
 
     # ------------------------------------------------------------------
     # internals
@@ -1079,18 +1080,158 @@ class ShardedIndex:
     # mutation
     # ------------------------------------------------------------------
 
+    # -- SPMD removal program builders ---------------------------------
+    # One shard_map launch per phase covering EVERY shard (VERDICT r4 #5:
+    # the old per-shard host loop ran the whole repair serially per shard,
+    # paying ~S x the single-chip removal wall on an S-shard mesh).  The
+    # chunk loops stay host-driven (the measured-negative device-side
+    # fusion in benchmarks/RESULTS.md does not apply — this batches the
+    # SAME host-driven programs across shards, it does not trace the
+    # chunk loop).
+
+    def _rm_mark_fn(self, b: int):
+        from ..core.remove import mark_removed
+
+        def build():
+            def run(st, rem):
+                return _expand(mark_removed(self._cfg, _squeeze(st),
+                                            rem[0]))
+            return jax.jit(
+                _shard_map(run, self.mesh,
+                           (self._state_specs(), P("shard")),
+                           self._state_specs()),
+                donate_argnums=(0,))
+        return self._cached(("rm_mark", b), build)
+
+    def _rm_aff_fn(self, b: int):
+        from ..core.remove import affected_masks_all
+
+        def build():
+            def run(st, rem):
+                a, m = affected_masks_all(self._cfg, _squeeze(st), rem[0])
+                return a[None], m[None]
+            return jax.jit(
+                _shard_map(run, self.mesh,
+                           (self._state_specs(), P("shard")),
+                           (P("shard"), P("shard"))))
+        return self._cached(("rm_aff", b), build)
+
+    def _rm_cand_fn(self, sb: int, b: int, layer: int, remove_ef: int,
+                    ns: int, exact: bool):
+        from ..core.remove import exact_repair_candidates, \
+            repair_candidates
+
+        def build():
+            max_iters = self._cfg.search_iter_factor * remove_ef + 16
+
+            def run(st, scan, rem):
+                local = _squeeze(st)
+                if exact:
+                    out = exact_repair_candidates(
+                        self._cfg, local, scan[0],
+                        jnp.asarray(layer, jnp.int32), remove_ef, ns)
+                else:
+                    out = repair_candidates(self._cfg, local, scan[0],
+                                            rem[0], layer, remove_ef,
+                                            max_iters)
+                return out[None]
+            return jax.jit(
+                _shard_map(run, self.mesh,
+                           (self._state_specs(), P("shard"), P("shard")),
+                           P("shard")))
+        return self._cached(("rm_cand", sb, b, layer, remove_ef, ns,
+                             exact), build)
+
+    def _rm_slice_fn(self, layer: int):
+        from ..core.remove import _slice_layer
+
+        def build():
+            def run(st):
+                nbr_l, deg_l = _slice_layer(_squeeze(st), layer)
+                return nbr_l[None], deg_l[None]
+            return jax.jit(
+                _shard_map(run, self.mesh, (self._state_specs(),),
+                           (P("shard"), P("shard"))))
+        return self._cached(("rm_slice", layer), build)
+
+    def _rm_wb_fn(self, layer: int, b: int):
+        """Write the repaired layer slice back AND clear the removed
+        nodes' own rows (one launch — the clear is a scatter on the
+        already-donated slice)."""
+        from ..core.remove import _clear_rows_slice, _writeback_layer
+
+        def build():
+            def run(st, nbr_l, deg_l, rem):
+                n2, d2 = _clear_rows_slice(nbr_l[0], deg_l[0], rem[0])
+                return _expand(_writeback_layer(_squeeze(st), n2, d2,
+                                                layer))
+            return jax.jit(
+                _shard_map(run, self.mesh,
+                           (self._state_specs(), P("shard"), P("shard"),
+                            P("shard")),
+                           self._state_specs()),
+                donate_argnums=(0, 1, 2))
+        return self._cached(("rm_wb", layer, b), build)
+
+    def _rm_chunk_fn(self, cb: int, b: int, sb: int, max_deg: int,
+                     fanin: int, span: int, fill: int):
+        from ..core.remove import repair_chunk
+
+        def build():
+            def run(st, nbr_l, deg_l, chunk, rem, scan, scand):
+                local = _squeeze(st)
+                n2, d2 = repair_chunk(self._cfg, local.vlo, local.norms,
+                                      nbr_l[0], deg_l[0], chunk[0],
+                                      rem[0], scan[0], scand[0], max_deg,
+                                      fanin, span, fill)
+                return n2[None], d2[None]
+            return jax.jit(
+                _shard_map(run, self.mesh,
+                           (self._state_specs(),) + (P("shard"),) * 6,
+                           (P("shard"), P("shard"))),
+                donate_argnums=(1, 2))
+        return self._cached(("rm_chunk", cb, b, sb, max_deg, fanin, span,
+                             fill), build)
+
+    def _rm_chunk_rows(self, nbr_l, deg_l, rows_s, rem_j, scan_j, scand,
+                       max_deg, fanin, span, fill):
+        """Drive one repair tier across all shards: host-chunked like the
+        single-chip _repair_rows, but each launch repairs one chunk on
+        EVERY shard (shards short of rows get -1 padding)."""
+        from ..core.remove import CHUNK_BUCKETS
+        S = self.n_shards
+        done = np.zeros(S, dtype=np.int64)
+        sizes = np.asarray([r.size for r in rows_s])
+        while (done < sizes).any():
+            take = min(int((sizes - done).max()), CHUNK_BUCKETS[-1])
+            cb = next(c for c in CHUNK_BUCKETS if c >= take)
+            cpad = np.full((S, cb), -1, dtype=np.int32)
+            for s in range(S):
+                t = rows_s[s][done[s]:done[s] + take]
+                cpad[s, :t.size] = t
+                done[s] += t.size
+            fn = self._rm_chunk_fn(cb, rem_j.shape[1], scan_j.shape[1],
+                                   max_deg, fanin, span, fill)
+            if self._rm_trace is not None:
+                self._rm_trace.append(("chunk", cb, fanin))
+            nbr_l, deg_l = fn(self._state, nbr_l, deg_l,
+                              jnp.asarray(cpad), rem_j, scan_j, scand)
+        return nbr_l, deg_l
+
     def remove(self, gids) -> None:
-        """Remove by global id with per-shard graph repair and slot
-        recycling (freed slots are handed out again by add)."""
+        """Remove by global id with SPMD graph repair and slot recycling
+        (freed slots are handed out again by add).  Every repair phase is
+        one shard_map launch covering all shards — an S-shard mesh pays
+        ~the single-chip removal wall, not S x it."""
         if not self.params.allow_removals:
             raise RuntimeError("Removals are disabled in this index "
                                "instance.")
-        from ..core.remove import remove_from_state, resolve_quality
-        C = self.shard_capacity
+        from ..core.remove import resolve_quality
+        S, C = self.n_shards, self.shard_capacity
         arr = np.unique(np.asarray(gids, dtype=np.int64).ravel())
         # out-of-range ids are ignored like inactive ones (negative gids
         # would otherwise wrap through numpy indexing onto live nodes)
-        arr = arr[(arr >= 0) & (arr < self.n_shards * C)]
+        arr = arr[(arr >= 0) & (arr < S * C)]
         if arr.size == 0:
             return
         self._invalidate_caches()
@@ -1100,22 +1241,107 @@ class ShardedIndex:
         quality = resolve_quality(self.params.remove_quality, arr.size,
                                   int(sum(self._counts)))
         active = np.asarray(self._state.active)
-        shard_of = arr % self.n_shards
-        local_of = (arr // self.n_shards).astype(np.int32)
-        for s in np.unique(shard_of):
+        shard_of = arr % S
+        local_of = (arr // S).astype(np.int32)
+        mine_s = []
+        for s in range(S):
             mine = local_of[shard_of == s]
-            mine = mine[active[int(s)][mine]]
-            if mine.size == 0:
-                continue
-            local = remove_from_state(
-                self._cfg, self._local(int(s)), mine,
-                self.params.remove_max_candidates,
-                scan_hwm=int(self._lengths[int(s)]),
-                quality=quality)
-            self._set_local(int(s), local)
-            self._free[int(s)].extend(int(x) for x in mine)
-            self._counts[int(s)] -= mine.size
-            self._upper_set[int(s)].difference_update(int(x) for x in mine)
+            mine_s.append(mine[active[s][mine]])
+        if not any(m.size for m in mine_s):
+            return
+        self._remove_spmd(mine_s, quality)
+        for s in range(S):
+            self._free[s].extend(int(x) for x in mine_s[s])
+            self._counts[s] -= mine_s[s].size
+            self._upper_set[s].difference_update(
+                int(x) for x in mine_s[s])
+
+    def _remove_spmd(self, mine_s, quality: str) -> None:
+        """SPMD engine core of remove(): the mesh form of
+        core.remove.remove_from_state, with (S, ...) leading axes and one
+        launch per phase."""
+        from ..core.remove import repair_widths
+        S, C = self.n_shards, self.shard_capacity
+        cfg = self._cfg
+        remove_ef = self.params.remove_max_candidates
+        r_fanin, r_span, r_span1, r_fill = repair_widths(quality)
+        exact = not dst.is_custom(self.metric)
+        # candidate-scan prefix (power-of-2 over the built slots, global
+        # across shards so the compiled program is uniform)
+        p = 8192
+        while p < max(1, self._shwm):
+            p <<= 1
+        ns = min(p, C)
+        cap = 32768 if C <= (1 << 21) else 4096
+        buckets = (8, 64, 512, 4096, cap)
+
+        def bucket(n):
+            for b in buckets:
+                if n <= b:
+                    return b
+            return buckets[-1]
+
+        # levels of the removed ids, one gather for the whole mesh
+        lv_s = []
+        flat_sh = np.concatenate(
+            [np.full(m.size, s, np.int64) for s, m in enumerate(mine_s)]
+        ) if any(m.size for m in mine_s) else np.empty(0, np.int64)
+        flat_lid = np.concatenate([m for m in mine_s]).astype(np.int64)
+        lv_all = np.asarray(self._state.level[
+            jnp.asarray(flat_sh), jnp.asarray(flat_lid)]) \
+            if flat_lid.size else np.empty(0, np.int32)
+        off = 0
+        for m in mine_s:
+            lv_s.append(lv_all[off:off + m.size])
+            off += m.size
+
+        max_n = max(m.size for m in mine_s)
+        for start in range(0, max_n, buckets[-1]):
+            waves = [m[start:start + buckets[-1]] for m in mine_s]
+            wlvls = [lv[start:start + buckets[-1]] for lv in lv_s]
+            b = bucket(max(w.size for w in waves))
+            rem = np.full((S, b), -1, dtype=np.int32)
+            for s, w in enumerate(waves):
+                rem[s, :w.size] = w
+            rem_j = jnp.asarray(rem)
+
+            if self._rm_trace is not None:
+                self._rm_trace.append(("mark", b))
+            self._state = self._rm_mark_fn(b)(self._state, rem_j)
+            top = int(max((int(lv.max()) if lv.size else 0)
+                          for lv in wlvls))
+            aff_j, multi_j = self._rm_aff_fn(b)(self._state, rem_j)
+            aff_all = np.unpackbits(
+                np.asarray(aff_j), axis=-1)[:, :, :C].astype(bool)
+            multi_all = np.unpackbits(
+                np.asarray(multi_j), axis=-1)[:, :, :C].astype(bool)
+            for l in range(top, -1, -1):
+                if l == 0:
+                    scan_j = rem_j
+                else:
+                    on_l = [w[lv >= l] for w, lv in zip(waves, wlvls)]
+                    sb = bucket(max(o.size for o in on_l))
+                    spad = np.full((S, sb), -1, dtype=np.int32)
+                    for s, o in enumerate(on_l):
+                        spad[s, :o.size] = o
+                    scan_j = jnp.asarray(spad)
+                scand = self._rm_cand_fn(
+                    int(scan_j.shape[1]), b, l, remove_ef, ns, exact)(
+                        self._state, scan_j, rem_j)
+                max_deg = cfg.max_degree(l == 0)
+                fast_s = [np.flatnonzero(aff_all[s, l] & ~multi_all[s, l])
+                          for s in range(S)]
+                slow_s = [np.flatnonzero(multi_all[s, l])
+                          for s in range(S)]
+                nbr_l, deg_l = self._rm_slice_fn(l)(self._state)
+                nbr_l, deg_l = self._rm_chunk_rows(
+                    nbr_l, deg_l, fast_s, rem_j, scan_j, scand, max_deg,
+                    1, r_span1, min(r_fill, max_deg))
+                nbr_l, deg_l = self._rm_chunk_rows(
+                    nbr_l, deg_l, slow_s, rem_j, scan_j, scand, max_deg,
+                    r_fanin, r_span, min(r_fill, max_deg))
+                self._state = self._rm_wb_fn(l, b)(
+                    self._state, nbr_l, deg_l, rem_j)
 
     def update(self, gids, vecs) -> None:
         """Replace stored vectors keeping their global ids (remove +

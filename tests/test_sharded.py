@@ -807,3 +807,39 @@ def test_sharded_block_dynamics(tmp_path):
     assert sb.count == live.size
     li, _ = sb.knn_query(far[60 - 120:], k=1, n_probe=8)
     assert (li[:, 0] == fids[60:]).mean() > 0.9
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sharded_remove_is_spmd_not_serial():
+    """Removal repair is one launch per phase covering ALL shards
+    (VERDICT r4 #5): removing a load spread over 4 shards issues about
+    as many device launches as the same PER-SHARD load concentrated on
+    one shard — a serial per-shard loop would issue ~4x."""
+    devices = jax.devices()[:4]
+    rng = np.random.default_rng(51)
+    vecs = rng.random((400, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=512, max_wave_size=64,
+                       random_seed=3)
+
+    def build():
+        ix = ShardedIndex(DIM, parameters=p, devices=devices)
+        ix.add(vecs)
+        return ix
+
+    # (a) even spread: 80 ids round-robin over all 4 shards
+    a = build()
+    a._rm_trace = []
+    a.remove(np.arange(80))
+    spread = len(a._rm_trace)
+
+    # (b) concentrated: 20 ids, all owned by shard 0 (gid % 4 == 0)
+    b = build()
+    b._rm_trace = []
+    b.remove(np.arange(0, 80, 4))
+    single = len(b._rm_trace)
+
+    assert spread <= single * 2, (spread, single)
+    # results stay correct after the SPMD removal
+    live = np.arange(80, 400)
+    ids, _ = a.knn_query(vecs[live], 1)
+    assert (ids[:, 0] == live).mean() > 0.85
