@@ -246,49 +246,13 @@ class ShardedBlockIndex:
             self.metric, self._cents, self._cent_norms, jnp.asarray(a),
             npb, self._cent_valid))
 
-    def _place_one(self, gid: int, vec: np.ndarray,
-                   pref_row: np.ndarray) -> int:
-        """Insert one (gid, vec) into the nearest block with space (fresh
-        block when the neighborhood is full); returns the block."""
-        BS = self.block_size
-        b = -1
-        d0 = np.inf
-        # same placement rules as BlockIndex._place_one: membership
-        # consistency (accept only within ~2x the block's member radius),
-        # then the nearest dynamically opened block, then a fresh block
-        for cand in pref_row:
-            if cand < 0:
-                continue
-            c = int(cand)
-            diff = vec - self._h_cents[c]
-            d2 = float(np.dot(diff, diff))
-            d0 = min(d0, d2)
-            if self._h_fill[c] < BS and d2 <= 4.0 * self._h_r2[c] + 1e-12:
-                b = c
-                break
-        if b < 0:
-            self._open_dyn = [ob for ob in self._open_dyn
-                              if self._h_fill[ob] < BS]
-            if self._open_dyn:
-                diff = self._h_cents[self._open_dyn] - vec
-                j = int(np.argmin(np.einsum("bd,bd->b", diff, diff)))
-                d_open = float(np.dot(diff[j], diff[j]))
-                if d_open <= 4.0 * d0 + 1e-12:
-                    b = int(self._open_dyn[j])
-        if b < 0:
-            empty = np.flatnonzero(self._h_fill == 0)
-            if empty.size == 0:
-                self._grow_blocks(1)
-                empty = np.flatnonzero(self._h_fill == 0)
-            b = int(empty[0])
-            self._open_dyn.append(b)
-        s = int(self._h_fill[b])
-        self._h_ids[b, s] = gid
-        self._h_vecs[b, s] = vec
-        self._h_fill[b] += 1
-        self._id_to_blk[gid] = b * BS + s
-        self._refresh_cent(b)
-        return b
+    def _place_batch(self, gids: np.ndarray, a: np.ndarray,
+                     pref: np.ndarray) -> list:
+        """Batch placement with BlockIndex's rules (membership radius,
+        open-block sharing, fresh-block fallback) — shared implementation,
+        see block.place_batch."""
+        from ..block import place_batch
+        return place_batch(self, self._id_to_blk, gids, a, pref)
 
     def _evict_one(self, gid: int) -> int:
         """Swap-compact one id out of its block; returns the block."""
@@ -327,8 +291,7 @@ class ShardedBlockIndex:
         self._id_to_blk = np.concatenate(
             [self._id_to_blk, np.full(m, -1, np.int64)])
         pref = self._route_pref(a)
-        touched = [self._place_one(int(new_ids[j]), a[j], pref[j])
-                   for j in range(m)]
+        touched = self._place_batch(new_ids, a, pref)
         self._push_touched(touched)
         self.count += m
         return new_ids.astype(np.int32)
@@ -366,10 +329,10 @@ class ShardedBlockIndex:
             raise ValueError("update ids must all be active")
         self._host_vecs[arr] = a
         pref = self._route_pref(a)
-        touched = []
-        for j, g in enumerate(arr.tolist()):
-            touched.append(self._evict_one(g))
-            touched.append(self._place_one(g, a[j], pref[j]))
+        # evict the whole batch, then place it (remove + reinsert
+        # semantics — see BlockIndex.update)
+        touched = [self._evict_one(g) for g in arr.tolist()]
+        touched += self._place_batch(arr, a, pref)
         self._push_touched(touched)
 
     def needs_rebuild(self) -> bool:

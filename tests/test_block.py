@@ -219,3 +219,27 @@ def test_block_dynamic_hnsw_router():
     ids2, _ = ix.knn_query(base[:16], k=1, n_probe=8)
     assert (ids2[:, 0] == np.arange(16)).mean() > 0.85
     assert not np.isin(ids2[ids2 >= 0], fids).any()
+
+
+def test_block_batched_add_moment_consistency(data):
+    """The batched add path maintains centroids/radii incrementally
+    (running moments); they must stay numerically equal to a direct
+    recompute over the block members — a double-count here silently
+    fragments placement (round-5 bug: recall fell 0.93 -> 0.74)."""
+    vecs, q, gt = data
+    ix = BlockIndex(DIM, parameters=HNSWParameters(random_seed=5),
+                    block_size=64)
+    ix.build(vecs[:2000])
+    ix.add(vecs[2000:])
+    for b in range(ix.n_blocks):
+        f = int(ix._h_fill[b])
+        if f == 0:
+            continue
+        c = ix._h_vecs[b, :f].mean(axis=0)
+        r2 = ((ix._h_vecs[b, :f] - c) ** 2).sum(1).mean()
+        assert np.abs(ix._h_cents[b] - c).max() < 1e-4
+        assert abs(float(ix._h_r2[b]) - r2) < 1e-3
+    # placement stays compact: the 1000-row append must not shatter into
+    # per-row singleton blocks
+    fills = ix._h_fill[ix._h_fill > 0]
+    assert (fills == 1).sum() < 50, int((fills == 1).sum())
