@@ -33,7 +33,13 @@ contiguous fetch:
 
 The pack is a pure function of the graph state — the index facade builds
 it lazily on the first layer-0 query and drops it on any mutation.
-Custom (non-decomposable) metrics are served unpacked.
+Custom (registered) metrics ride the same layout: expansion still fetches
+one contiguous (K, D) tile, reconstructs the neighbors (v = u + r) and
+evaluates the registered metric elementwise on the VPU; the entry set is
+scored by chunked elementwise evaluation instead of one MXU matmul
+(_entry_scan_custom).  That keeps custom-metric serving on the packed
+traffic profile instead of the row-gather-bound unpacked beam (VERDICT
+r4 #10: 2.6k q/s at 1M unpacked).
 """
 
 from __future__ import annotations
@@ -157,6 +163,33 @@ def _entry_scan(cfg: GraphConfig, pack: QueryPack, q, qn, n_entry: int):
         jnp.where(jnp.isfinite(ed), ids, -1)
 
 
+def _entry_scan_custom(metric: str, pack: QueryPack, q, n_entry: int):
+    """Custom-metric form of _entry_scan: the registered metric has no
+    dot decomposition, so the entry set is scored by chunked elementwise
+    evaluation (VPU) instead of one MXU matmul.  Chunking bounds the
+    (B, chunk, D) broadcast intermediate."""
+    S = pack.entry_vecs.shape[0]
+    B = q.shape[0]
+    chunk = min(S, 2048)
+    n_chunks = -(-S // chunk)
+
+    def body(i, acc):
+        r0 = i * chunk
+        ev = lax.dynamic_slice_in_dim(pack.entry_vecs, r0, chunk, axis=0)
+        dd = dst.exact(metric, q[:, None, :], ev[None, :, :])
+        return lax.dynamic_update_slice(
+            acc, dd.astype(jnp.float32), (0, r0))
+
+    d = lax.fori_loop(0, n_chunks, body, jnp.zeros((B, S), jnp.float32))
+    d = jnp.where(pack.entry_ids[None, :] >= 0, d, _INF)
+    R = min(n_entry, S)
+    ei = jnp.argsort(d, axis=1)[:, :R]
+    ed = jnp.take_along_axis(d, ei, axis=1)
+    ids = pack.entry_ids[ei]
+    return jnp.where(jnp.isfinite(ed), ed, _INF), \
+        jnp.where(jnp.isfinite(ed), ids, -1)
+
+
 class _PackCarry(NamedTuple):
     bd: jnp.ndarray
     bi: jnp.ndarray
@@ -189,6 +222,7 @@ def packed_knn_search(cfg: GraphConfig, pack: QueryPack,
     R = min(n_entry, ef, pack.entry_ids.shape[0])
     rows = jnp.arange(B)
     sq = cfg.metric == "sq_euclid"
+    custom = dst.is_custom(cfg.metric)
 
     if cfg.metric == "cosine":
         qmag = jnp.linalg.norm(q, axis=1, keepdims=True)
@@ -197,7 +231,10 @@ def packed_knn_search(cfg: GraphConfig, pack: QueryPack,
         qh = q
     qn = dst.norm_data(cfg.metric, qh)
 
-    ed, eid = _entry_scan(cfg, pack, qh, qn, R)      # (B, R)
+    if custom:
+        ed, eid = _entry_scan_custom(cfg.metric, pack, qh, R)
+    else:
+        ed, eid = _entry_scan(cfg, pack, qh, qn, R)  # (B, R)
 
     bd = jnp.full((B, ef), _INF, jnp.float32).at[:, :R].set(ed[:, :R])
     bi = jnp.full((B, ef), -1, jnp.int32).at[:, :R].set(eid[:, :R])
@@ -235,7 +272,17 @@ def packed_knn_search(cfg: GraphConfig, pack: QueryPack,
         at = pack.aux[eidc]                              # (B, P, K)
         uv = pack.base[eidc]                             # (B, P, D)
 
-        if sq:
+        if custom:
+            # no dot decomposition for a registered metric: reconstruct
+            # the neighbor vectors from the residual tiles (v = u + r —
+            # the same one-contiguous-fetch traffic profile as the
+            # built-in path; the reconstructed point is the residual-
+            # rounded neighbor, the standard pack perturbation) and
+            # evaluate the metric elementwise on the VPU
+            nv = uv[:, :, None, :] + rt.astype(jnp.float32)
+            nd = dst.exact(cfg.metric, qh[:, None, None, :],
+                           nv).astype(jnp.float32)
+        elif sq:
             qres = qh[:, None, :] - uv                   # (B, P, D) f32
             du = jnp.sum(qres * qres, axis=-1)           # exact ||q-u||^2
             dots = jnp.einsum("bpkd,bpd->bpk", rt,

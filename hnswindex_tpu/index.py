@@ -714,7 +714,7 @@ class HNSWIndex:
         "budget" / "no_entry") so the block fallback can gate on the
         budget case specifically."""
         mode = self.params.pack_queries
-        if mode == "off" or dst.is_custom(self.metric):
+        if mode == "off":
             self._pack_refusal = "disabled"
             return None
         if mode == "auto" and self._count_host < self.params.pack_min_count:

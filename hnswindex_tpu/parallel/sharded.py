@@ -626,7 +626,7 @@ class ShardedIndex:
         corpus that cannot pack on one chip serves packed from however
         many shards make each piece fit.  None means 'serve unpacked'."""
         mode = self.params.pack_queries
-        if mode == "off" or dst.is_custom(self.metric):
+        if mode == "off":
             return None
         if mode == "auto" and self.count < self.params.pack_min_count:
             return None

@@ -55,3 +55,35 @@ def test_register_validation():
         register_metric("notfn", 42)
     with pytest.raises(ValueError):
         HNSWIndex(DIM, "never_registered")
+
+
+def test_custom_metric_packed_serving():
+    """Registered metrics now ride the packed layer-0 engine (VERDICT r4
+    #10): with pack_queries='on' the pack builds for a custom metric,
+    results match the callable's math exactly, and recall matches the
+    unpacked beam."""
+    rng = np.random.default_rng(17)
+    n = 800
+    vecs = rng.random((n, DIM), dtype=np.float32)
+    p_on = HNSWParameters(collection_size=n, pack_queries="on",
+                          random_seed=11)
+    ix = HNSWIndex(DIM, "l1_test", p_on)
+    ids = ix.add(vecs)
+    rid, rd = ix.knn_query(vecs, 1)
+    assert ix._pack is not None, "custom-metric pack did not engage"
+    assert (rid[:, 0] == ids).mean() > 0.85
+    # distances still refined with the callable's math
+    gi, gd = ix.knn_query(vecs[:20], 3)
+    for r in range(20):
+        for c in range(3):
+            want = np.abs(vecs[r] - vecs[gi[r, c]]).sum()
+            assert np.isclose(gd[r, c], want, rtol=1e-4)
+    # parity with the unpacked beam at equal parameters
+    p_off = HNSWParameters(collection_size=n, pack_queries="off",
+                           random_seed=11)
+    ux = HNSWIndex(DIM, "l1_test", p_off)
+    uids = ux.add(vecs)
+    urid, _ = ux.knn_query(vecs, 1)
+    packed_rec = (rid[:, 0] == ids).mean()
+    unpacked_rec = (urid[:, 0] == uids).mean()
+    assert packed_rec >= unpacked_rec - 0.02, (packed_rec, unpacked_rec)
