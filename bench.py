@@ -129,8 +129,8 @@ os._exit(0)
 
 def tunnel_probe(
         deadline_s=float(os.environ.get("BENCH_PROBE_DEADLINE_S", "90")),
-        attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "4")),
-        sleep_s=float(os.environ.get("BENCH_PROBE_SLEEP_S", "30"))):
+        attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "10")),
+        sleep_s=float(os.environ.get("BENCH_PROBE_SLEEP_S", "60"))):
     """First device contact in a SUBPROCESS with a hard deadline.
 
     The relay tunnel can wedge for 10-15 minutes after a killed RPC
@@ -138,6 +138,12 @@ def tunnel_probe(
     child self-exits (rc 9) just before the parent deadline so a wedged
     RPC is abandoned by the child, not SIGKILLed mid-flight by us.
     Returns seconds spent, or raises after all attempts fail.
+
+    Attempt schedule (round-5 retune): 2026-08-20 saw a wedge outlast
+    the old 4 x (90s + 30s) window by minutes and the bench gave up with
+    nothing scored; attempts now default to 10 with 60s gaps (~25 min of
+    wall-clock coverage, still bounded by the remaining() bail below) so
+    a responsive window inside a long flap is actually caught.
     """
     t0 = time.perf_counter()
     for attempt in range(attempts):
@@ -495,9 +501,10 @@ def main():
     # -- recall parity vs the independent C++ host engine at equal
     # parameters (BASELINE north-star row 1).  Runs on a subsample (the
     # reference-style engine builds at ~1-3k inserts/s on this 1-core
-    # host) when a real dataset was supplied or BENCH_PARITY=1.
-    if ((dataset is not None or os.environ.get("BENCH_PARITY") == "1")
-            and remaining() > 180):
+    # host): always for a supplied real dataset, and for the synthetic
+    # corpus too when the budget allows (BENCH_PARITY=0 disables).
+    if (os.environ.get("BENCH_PARITY") != "0"
+            and remaining() > (180 if dataset is not None else 300)):
         try:
             from hnswindex_tpu.native.host_engine import HostIndex
             pn = min(n, int(os.environ.get("BENCH_PARITY_N", "50000")))

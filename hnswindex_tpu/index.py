@@ -1127,9 +1127,9 @@ class HNSWIndex:
         # out-of-range) k-NN seeds, which are expanded once to cover
         # disconnected in-range pockets — an evicted unexpanded seed
         # would silently lose its pocket
-        exact_rows = [i for i in range(n)
-                      if counts[i] + RANGE_SEED_EF >= RANGE_POOLS[-1]]
-        graph_rows = [i for i in range(n) if i not in set(exact_rows)]
+        is_exact = counts + RANGE_SEED_EF >= RANGE_POOLS[-1]
+        exact_rows = np.flatnonzero(is_exact).tolist()
+        graph_rows = np.flatnonzero(~is_exact).tolist()
 
         for i in exact_rows:
             rid, rd = self._range_exact_host(q[i], radius, fmask)
