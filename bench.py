@@ -11,8 +11,10 @@ the adversarial worst case for any graph ANN).  Override with BENCH_N /
 BENCH_DIM / BENCH_DATA / BENCH_METRIC / BENCH_QBATCH / BENCH_K.
 
 The headline is the throughput of the best serving mode that clears the
-reference's own recall bar (recall@10 >= 0.85 self-consistency,
-GraphTests.cs:28):
+reference's own recall bar plus a safety margin (recall@10 >= 0.88;
+the reference bar is 0.85, GraphTests.cs:28 — the margin keeps the
+scored headline from being one seed-wobble away from the bar, VERDICT
+r4 #3; every mode's raw qps/recall is still recorded in "modes"):
 
 * block  — two-level MXU scoring (block.py) — usually the winner;
 * exact  — blocked brute-force on the MXU (recall ~1.0);
@@ -51,6 +53,8 @@ import time
 import numpy as np
 
 T_START = time.perf_counter()
+#: headline candidacy gate: reference bar 0.85 + 0.03 margin (see top)
+HEADLINE_RECALL = 0.88
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 
 
@@ -416,7 +420,7 @@ def main():
             rec = recall_of(np.asarray(block_run(queries)[1])[:, :k])
             log(f"block n_probe={n_probe}: {qps:.0f} q/s, "
                 f"recall@{k} {rec:.3f}")
-            if rec > 0.85:
+            if rec > HEADLINE_RECALL:
                 candidates.append((qps, f"block(n_probe={n_probe})", rec))
                 headline()
 
@@ -439,7 +443,7 @@ def main():
         stage = "2-stage bf16+f32" if ct is not None else "f32"
         log(f"exact ({stage}): {exact_qps:.0f} q/s, recall@{k} "
             f"{exact_rec:.4f} (~{100 * mfu:.0f}% of bf16 peak)")
-        if exact_rec > 0.85:
+        if exact_rec > HEADLINE_RECALL:
             candidates.append((exact_qps, "exact", exact_rec))
             headline()
 
@@ -469,7 +473,7 @@ def main():
                 gbps = qps * ef * K * (dim * 2 + 8) / 1e9
                 log(f"graph-packed ef={ef}: {qps:.0f} q/s, recall@{k} "
                     f"{rec:.3f} (~{gbps:.0f} GB/s tile traffic)")
-                if rec > 0.85:
+                if rec > HEADLINE_RECALL:
                     candidates.append((qps, f"graph-packed(ef={ef})", rec))
                     headline()
 
@@ -486,7 +490,7 @@ def main():
         qps = throughput(grun)
         rec = recall_of(np.asarray(grun(queries)[1])[:, :k])
         log(f"graph-unpacked ef={ef}: {qps:.0f} q/s, recall@{k} {rec:.3f}")
-        if rec > 0.85:
+        if rec > HEADLINE_RECALL:
             candidates.append((qps, f"graph(ef={ef})", rec))
 
     # headline: fastest mode that clears the reference recall bar
