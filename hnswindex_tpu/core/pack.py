@@ -62,6 +62,20 @@ _INF = jnp.inf
 #: upper level whose population fits is used.
 ENTRY_SCAN_MAX = 131072
 
+#: Entry-set cap for CUSTOM metrics: the registered-metric entry scan is
+#: elementwise on the VPU (no MXU matmul), and at 1M rows the level>=1
+#: set (~65k) costs 112 ms of a 120 ms query batch (measured 2026-08-21,
+#: benchmarks/custom_metric_probe.py).  Capping the set pushes custom
+#: packs one level up the hierarchy (~1/256 of the corpus at M=16) —
+#: exact top-n_entry over that level, the classic HNSW entry semantics —
+#: and turns the scan into a few ms.
+ENTRY_SCAN_MAX_CUSTOM = 8192
+
+
+def entry_scan_cap(metric: str) -> int:
+    return ENTRY_SCAN_MAX_CUSTOM if dst.is_custom(metric) \
+        else ENTRY_SCAN_MAX
+
 #: Row chunk for the pack build (bounds the f32 gather intermediate).
 _BUILD_CHUNK = 1 << 16
 

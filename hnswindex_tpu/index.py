@@ -737,9 +737,10 @@ class HNSWIndex:
         lvl = np.asarray(self._state.level)
         act = np.asarray(self._state.active)
         eids = None
+        cap = PK.entry_scan_cap(self.metric)
         for layer in range(1, self._state.num_levels):
             members = np.flatnonzero((lvl >= layer) & act)
-            if members.size <= PK.ENTRY_SCAN_MAX:
+            if members.size <= cap:
                 eids = members
                 break
         if eids is None or eids.size == 0:

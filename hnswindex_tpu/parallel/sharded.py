@@ -650,11 +650,12 @@ class ShardedIndex:
         lvl = np.asarray(self._state.level)
         act = np.asarray(self._state.active)
         ents = []
+        cap = PK.entry_scan_cap(self.metric)
         for s in range(S):
             eids = None
             for layer in range(1, int(self._cfg.max_levels)):
                 members = np.flatnonzero((lvl[s] >= layer) & act[s])
-                if members.size <= PK.ENTRY_SCAN_MAX:
+                if members.size <= cap:
                     eids = members
                     break
             if eids is None or eids.size == 0:
