@@ -382,24 +382,46 @@ def main():
             len(set(ids[r].tolist()) & set(gt[r].tolist())) / k
             for r in range(ids.shape[0])]))
 
-    candidates = []
+    candidates = []     # headline-eligible (recall >= HEADLINE_RECALL)
+    measured = []       # EVERY measured mode, gate or not (for the JSON)
 
-    def headline():
-        if not candidates:
-            return
-        qps, mode, rec = max(candidates)
-        update(value=round(qps, 1), vs_baseline=round(qps / 100_000, 4),
-               headline_mode=mode, headline_recall=round(rec, 4),
-               modes={m: {"qps": round(q_, 1), "recall": round(r_, 4)}
-                      for q_, m, r_ in sorted(candidates, reverse=True)})
-        emit()
+    def note(qps, mode, rec):
+        measured.append((qps, mode, rec))
+        if rec > HEADLINE_RECALL:
+            candidates.append((qps, mode, rec))
+            headline()
+        else:
+            headline(refresh_only=True)
+
+    def headline(refresh_only=False):
+        if measured:
+            update(modes={m: {"qps": round(q_, 1), "recall": round(r_, 4)}
+                          for q_, m, r_ in sorted(measured, reverse=True)})
+        if candidates:
+            qps, mode, rec = max(candidates)
+            update(value=round(qps, 1),
+                   vs_baseline=round(qps / 100_000, 4),
+                   headline_mode=mode, headline_recall=round(rec, 4))
+        if measured or candidates:
+            emit()
 
     # -- stage order is by headline value per second of compile risk:
     # block first (the recorded winner), then exact (safe fallback), then
-    # the graph paths.  Each stage checks the remaining budget.
+    # the graph paths.  Each stage checks the remaining budget, and each
+    # runs under guarded(): a transient relay failure mid-stage (e.g.
+    # `remote_compile: response body closed` killed a whole run on
+    # 2026-08-21 with NOTHING emitted) must cost only that stage.
 
-    # block mode (two-level MXU scoring)
-    if remaining() > 120:
+    def guarded(stage_name, fn):
+        try:
+            fn()
+        except Exception as e:
+            log(f"stage {stage_name} FAILED: {e!r} — continuing")
+            errs = _RESULT.get("stage_errors", {})
+            errs[stage_name] = repr(e)[:200]
+            update(stage_errors=errs)
+
+    def stage_block():
         from hnswindex_tpu.block import BlockIndex
         bix = BlockIndex(dim, metric, parameters=params)
         t0 = time.perf_counter()
@@ -420,9 +442,10 @@ def main():
             rec = recall_of(np.asarray(block_run(queries)[1])[:, :k])
             log(f"block n_probe={n_probe}: {qps:.0f} q/s, "
                 f"recall@{k} {rec:.3f}")
-            if rec > HEADLINE_RECALL:
-                candidates.append((qps, f"block(n_probe={n_probe})", rec))
-                headline()
+            note(qps, f"block(n_probe={n_probe})", rec)
+
+    if remaining() > 120:
+        guarded("block", stage_block)
 
     # exact mode (recall ~1.0; also the fallback headline when nothing
     # else clears the bar)
@@ -436,50 +459,55 @@ def main():
                          state.active, qs, k)
 
     exact_qps = exact_rec = None
-    if remaining() > 90:
+
+    def stage_exact():
+        nonlocal exact_qps, exact_rec
         exact_qps = throughput(exact_run)
         exact_rec = recall_of(np.asarray(exact_run(queries)[1])[:, :k])
         mfu = exact_qps * 2.0 * dim * n / 394e12  # vs v5e bf16 peak
         stage = "2-stage bf16+f32" if ct is not None else "f32"
         log(f"exact ({stage}): {exact_qps:.0f} q/s, recall@{k} "
             f"{exact_rec:.4f} (~{100 * mfu:.0f}% of bf16 peak)")
-        if exact_rec > HEADLINE_RECALL:
-            candidates.append((exact_qps, "exact", exact_rec))
-            headline()
+        note(exact_qps, "exact", exact_rec)
+
+    if remaining() > 90:
+        guarded("exact", stage_exact)
 
     # graph mode, packed (the default layer-0 serving path at scale)
-    if remaining() > 120:
+    def stage_packed():
         t0 = time.perf_counter()
         pk = idx._get_pack()
-        if pk is not None:
-            jax.block_until_ready(pk.res)
-            log(f"pack build: {time.perf_counter() - t0:.1f}s "
-                f"(entry set {int(pk.entry_ids.shape[0])})")
-            expand = max(1, params.query_expand)
-            for ef in (max(k, 12), 16, 32):
-                if remaining() < 75:
-                    continue
-                mi = (cfg.search_iter_factor * ef) // expand + 16
+        if pk is None:
+            return
+        jax.block_until_ready(pk.res)
+        log(f"pack build: {time.perf_counter() - t0:.1f}s "
+            f"(entry set {int(pk.entry_ids.shape[0])})")
+        expand = max(1, params.query_expand)
+        for ef in (max(k, 12), 16, 32):
+            if remaining() < 75:
+                continue
+            mi = (cfg.search_iter_factor * ef) // expand + 16
 
-                def prun(qs, ef=ef, mi=mi):
-                    return PK.packed_knn_search(cfg, pk, qs, ef, mi,
-                                                expand=expand,
-                                                n_entry=min(8, ef))
+            def prun(qs, ef=ef, mi=mi):
+                return PK.packed_knn_search(cfg, pk, qs, ef, mi,
+                                            expand=expand,
+                                            n_entry=min(8, ef))
 
-                qps = throughput(prun)
-                rec = recall_of(np.asarray(prun(queries)[1])[:, :k])
-                # graph traffic estimate: ~ef expansions x one (K, D) tile
-                K = int(pk.nbr0.shape[1])
-                gbps = qps * ef * K * (dim * 2 + 8) / 1e9
-                log(f"graph-packed ef={ef}: {qps:.0f} q/s, recall@{k} "
-                    f"{rec:.3f} (~{gbps:.0f} GB/s tile traffic)")
-                if rec > HEADLINE_RECALL:
-                    candidates.append((qps, f"graph-packed(ef={ef})", rec))
-                    headline()
+            qps = throughput(prun)
+            rec = recall_of(np.asarray(prun(queries)[1])[:, :k])
+            # graph traffic estimate: ~ef expansions x one (K, D) tile
+            K = int(pk.nbr0.shape[1])
+            gbps = qps * ef * K * (dim * 2 + 8) / 1e9
+            log(f"graph-packed ef={ef}: {qps:.0f} q/s, recall@{k} "
+                f"{rec:.3f} (~{gbps:.0f} GB/s tile traffic)")
+            note(qps, f"graph-packed(ef={ef})", rec)
 
-    # graph mode, unpacked fallback (also the custom-metric path) — audit
-    # info only; never the headline at 1M, so it runs last
     if remaining() > 120:
+        guarded("graph-packed", stage_packed)
+
+    # graph mode, unpacked fallback — audit info only; never the headline
+    # at 1M, so it runs last (registered metrics serve packed since r5)
+    def stage_unpacked():
         expand = max(1, params.query_expand)
         ef = 64
         mi = (cfg.search_iter_factor * ef) // expand + 16
@@ -490,8 +518,10 @@ def main():
         qps = throughput(grun)
         rec = recall_of(np.asarray(grun(queries)[1])[:, :k])
         log(f"graph-unpacked ef={ef}: {qps:.0f} q/s, recall@{k} {rec:.3f}")
-        if rec > HEADLINE_RECALL:
-            candidates.append((qps, f"graph(ef={ef})", rec))
+        note(qps, f"graph(ef={ef})", rec)
+
+    if remaining() > 120:
+        guarded("graph-unpacked", stage_unpacked)
 
     # headline: fastest mode that clears the reference recall bar
     if not candidates and exact_qps is not None:
@@ -566,4 +596,13 @@ if __name__ == "__main__":
     if os.environ.get("BENCH_FAKE_HANG_MAIN") == "1":
         update(build_inserts_per_s=12345.0)  # pretend a stage landed
         time.sleep(10**6)
-    main()
+    try:
+        main()
+    except BaseException as e:
+        # the robustness contract: WHATEVER ends the process, the tail
+        # holds a JSON line.  2026-08-21: a relay `remote_compile` RPC
+        # died mid-build, the exception escaped main(), and the run
+        # recorded nothing — this guard emits best-so-far instead.
+        update(aborted=f"exception: {type(e).__name__}: {e}"[:300])
+        emit(final=True)
+        raise
