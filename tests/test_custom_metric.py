@@ -87,3 +87,34 @@ def test_custom_metric_packed_serving():
     packed_rec = (rid[:, 0] == ids).mean()
     unpacked_rec = (urid[:, 0] == uids).mean()
     assert packed_rec >= unpacked_rec - 0.02, (packed_rec, unpacked_rec)
+
+
+def test_custom_metric_sharded_packed():
+    """Custom metrics serve packed on the mesh too (round 5): a sharded
+    index with pack_queries='on' and a registered metric builds per-shard
+    packs and returns callable-exact distances."""
+    import jax
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+        _pytest.skip("needs multiple devices")
+    from hnswindex_tpu.parallel.sharded import ShardedIndex
+
+    rng = np.random.default_rng(23)
+    n = 400
+    vecs = rng.random((n, DIM), dtype=np.float32)
+    p = HNSWParameters(collection_size=n, pack_queries="on",
+                       max_wave_size=64, random_seed=7)
+    idx = ShardedIndex(DIM, "l1_test", parameters=p,
+                       devices=jax.devices()[:2])
+    gids = idx.add(vecs)
+    ids, d = idx.knn_query(vecs, 1)
+    assert idx._pack is not None, "sharded custom pack did not engage"
+    assert (ids[:, 0] == gids).mean() > 0.85
+    gi, gd = idx.knn_query(vecs[:10], 3)
+    hv = idx._host_vecs()
+    S = idx.n_shards
+    for r in range(10):
+        for c in range(3):
+            g = int(gi[r, c])
+            want = np.abs(vecs[r] - hv[g % S, g // S]).sum()
+            assert np.isclose(gd[r, c], want, rtol=1e-4)
