@@ -243,3 +243,16 @@ def test_block_batched_add_moment_consistency(data):
     # per-row singleton blocks
     fills = ix._h_fill[ix._h_fill > 0]
     assert (fills == 1).sum() < 50, int((fills == 1).sum())
+
+
+def test_block_size_192(data):
+    """The bench's preferred 192-row geometry (benchmarks/RESULTS.md
+    round-5 sweep) works on the non-Pallas path too: recall tracks the
+    128-row default at matched probes."""
+    vecs, q, gt = data
+    ix = BlockIndex(DIM, block_size=192)
+    ix.build(vecs)
+    ids, d = ix.knn_query(q, 10, n_probe=8)
+    assert overlap(ids, gt) > 0.9
+    ids2, _ = ix.knn_query(q, 10, n_probe=ix.n_blocks)   # all blocks
+    assert overlap(ids2, gt) > 0.99
